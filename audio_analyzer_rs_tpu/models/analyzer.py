@@ -1,0 +1,156 @@
+"""Analyzer pipelines — the flagship composed models.
+
+`PitchAnalyzer` is the TPU-native equivalent of the reference's STFT worker
+thread (ref src/audio_io/stft.rs:155-441): frame → Hann → rDFT magnitude →
+variance-aware per-bin noise floor (scan) → harmonic-comb pitch extraction
+(vmap) → PitchTracker hysteresis (scan).  `OnsetAnalyzer` is the equivalent
+of the onset thread (ref src/analysis/onset.rs:104-546).  Both are streaming:
+state in, state out — a chunk of any length advances them, so the same jitted
+program serves offline batch analysis and the realtime virtual device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import noisefloor, onset as onset_ops, pitch as pitch_ops, tracker
+from ..ops.fft import hann_window
+from ..ops.stft import PITCH_HOP, PITCH_WINDOW, ONSET_HOP, ONSET_WINDOW, windowed_mags
+from ..utils.framing import frame_signal, num_frames
+
+
+class PitchChunkOut(NamedTuple):
+    raw_freqs: jax.Array     # [N, 8]
+    raw_scores: jax.Array    # [N, 8]
+    raw_valid: jax.Array     # [N, 8]
+    stable_freqs: jax.Array  # [N, 8]
+    stable_scores: jax.Array  # [N, 8]
+    stable_valid: jax.Array  # [N, 8]
+    mags: jax.Array          # [N, H]
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
+def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
+                         sample_rate: float, window: int = PITCH_WINDOW,
+                         hop: int = PITCH_HOP, backend: str = "dft"):
+    """Pre-framed audio [N, window] → pitch pipeline outputs + new states."""
+    mags = windowed_mags(frames, window, backend=backend)
+    nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags, global_floor)
+    bin_width = float(np.float32(sample_rate) / np.float32(window))
+    pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width)
+    tr_state, (sf, ss, sv) = tracker.tracker_scan(
+        tr_state, pf.freqs, pf.scores, pf.valid, onsets)
+    return nf_state, tr_state, PitchChunkOut(pf.freqs, pf.scores, pf.valid,
+                                             sf, ss, sv, mags)
+
+
+@dataclass
+class PitchAnalyzer:
+    """Streaming pitch detection (ring buffer + device scans).
+
+    Mirrors the reference worker's ring-buffer semantics: samples accumulate
+    until >= window, then frames advance by hop (ref stft.rs:268-273,436-437).
+    """
+    sample_rate: float
+    window: int = PITCH_WINDOW
+    hop: int = PITCH_HOP
+    backend: str = "dft"
+    _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+
+    def __post_init__(self):
+        self.nf_state = noisefloor.init_state(self.window // 2 + 1)
+        self.tr_state = tracker.init_state()
+
+    def reset(self):
+        self._tail = np.zeros(0, np.float32)
+        self.nf_state = noisefloor.init_state(self.window // 2 + 1)
+        self.tr_state = tracker.init_state()
+
+    def process(self, samples: np.ndarray, global_floor_db: float = -96.0,
+                onset_pending: Optional[np.ndarray] = None):
+        """Feed a chunk; returns per-frame outputs (may be empty).
+
+        `onset_pending`: optional [n_frames] bool — the onset_pending flag the
+        onset detector sets (ref stft.rs:387).  Defaults to all-False.
+        """
+        buf = np.concatenate([self._tail, np.asarray(samples, np.float32)])
+        n = num_frames(len(buf), self.window, self.hop)
+        if n == 0:
+            self._tail = buf
+            return None
+        consumed = n * self.hop
+        self._tail = buf[consumed:]
+        frames = np.asarray(frame_signal(jnp.asarray(buf), self.window, self.hop))
+        half = self.window // 2 + 1
+        gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
+                     np.float32)
+        onsets = (np.zeros(n, bool) if onset_pending is None
+                  else np.asarray(onset_pending, bool)[:n])
+        self.nf_state, self.tr_state, out = pitch_analyze_frames(
+            self.nf_state, self.tr_state, jnp.asarray(frames), jnp.asarray(gf),
+            jnp.asarray(onsets), self.sample_rate, self.window, self.hop,
+            self.backend)
+        return jax.tree.map(np.asarray, out)
+
+
+class OnsetChunkOut(NamedTuple):
+    fired: jax.Array
+    detected: jax.Array
+    velocity: jax.Array
+    flux: jax.Array
+    energy: jax.Array
+
+
+@partial(jax.jit, static_argnames=("window", "backend"))
+def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
+                         window: int = ONSET_WINDOW, backend: str = "dft"):
+    mags = windowed_mags(frames, window, backend=backend)
+    state, out = onset_ops.onset_scan(state, mags, global_floor, tick_suppressed)
+    return state, OnsetChunkOut(out.fired, out.detected, out.velocity,
+                                out.flux, out.energy)
+
+
+@dataclass
+class OnsetAnalyzer:
+    """Streaming onset detection (window 256 / hop 64)."""
+    sample_rate: float
+    window: int = ONSET_WINDOW
+    hop: int = ONSET_HOP
+    backend: str = "dft"
+    _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+
+    def __post_init__(self):
+        self.state = onset_ops.init_state(self.window // 2 + 1)
+        self.frames_consumed = 0
+
+    def reset(self):
+        self._tail = np.zeros(0, np.float32)
+        self.state = onset_ops.init_state(self.window // 2 + 1)
+        self.frames_consumed = 0
+
+    def process(self, samples: np.ndarray, global_floor_db: float = -96.0,
+                tick_suppressed: Optional[np.ndarray] = None):
+        buf = np.concatenate([self._tail, np.asarray(samples, np.float32)])
+        n = num_frames(len(buf), self.window, self.hop)
+        if n == 0:
+            self._tail = buf
+            return None
+        consumed = n * self.hop
+        self._tail = buf[consumed:]
+        frames = np.asarray(frame_signal(jnp.asarray(buf), self.window, self.hop))
+        half = self.window // 2 + 1
+        gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
+                     np.float32)
+        ts = (np.zeros(n, bool) if tick_suppressed is None
+              else np.asarray(tick_suppressed, bool)[:n])
+        self.state, out = onset_analyze_frames(
+            self.state, jnp.asarray(frames), jnp.asarray(gf), jnp.asarray(ts),
+            self.window, self.backend)
+        self.frames_consumed += n
+        return jax.tree.map(np.asarray, out)

@@ -1,0 +1,113 @@
+"""Variance-aware per-bin noise floor — `lax.scan` over STFT frames.
+
+Port of the pitch worker's floor update (ref src/audio_io/stft.rs:209-367).
+The reference carries [half_size] float arrays across frames on a worker
+thread; here the same recurrence is a scan carry, so arbitrarily long audio
+is one device program.  Constants are the reference's exactly
+(ref stft.rs:219-225).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLOOR_BASE_ALPHA = 0.04
+FLOOR_FAST_ALPHA = 0.35
+FLOOR_RELEASE = 0.02
+VOL_MEMORY = 0.75
+NOTE_RATIO = 1.5
+NOTE_VOL_MAX = 0.15
+
+
+class NoiseFloorState(NamedTuple):
+    floor: jax.Array        # [H] per-bin noise floor
+    prev_mag: jax.Array     # [H] previous frame magnitudes
+    volatility: jax.Array   # [H] inter-frame jitter EMA
+    initialized: jax.Array  # scalar bool
+
+
+def init_state(half_size: int) -> NoiseFloorState:
+    z = jnp.zeros((half_size,), dtype=jnp.float32)
+    return NoiseFloorState(z, z, z, jnp.asarray(False))
+
+
+def _step(state: NoiseFloorState, mags: jax.Array, global_floor: jax.Array):
+    """One frame update → (new_state, effective_floor)."""
+    # First-frame initialization (ref stft.rs:326-331).
+    init_floor = jnp.maximum(mags, global_floor * 5.0)
+
+    # Steady-state update (ref stft.rs:332-363).
+    delta = jnp.abs(mags - state.prev_mag)
+    vol = state.volatility * VOL_MEMORY + delta * (1.0 - VOL_MEMORY)
+    floor = state.floor
+    above_ratio = mags / jnp.maximum(floor, 0.01)
+    vol_norm = jnp.clip(vol / jnp.maximum(mags, 0.05), 0.0, 1.0)
+    is_sustained = (above_ratio > NOTE_RATIO) & (vol_norm < NOTE_VOL_MAX)
+    alpha = jnp.where(mags > floor,
+                      FLOOR_BASE_ALPHA + (FLOOR_FAST_ALPHA - FLOOR_BASE_ALPHA) * vol_norm,
+                      FLOOR_RELEASE)
+    updated = jnp.where(is_sustained, floor, floor + alpha * (mags - floor))
+
+    new_floor = jnp.where(state.initialized, updated, init_floor)
+    new_vol = jnp.where(state.initialized, vol, state.volatility)
+    new_state = NoiseFloorState(new_floor, mags, new_vol,
+                                jnp.asarray(True))
+    effective = jnp.minimum(new_floor, global_floor * 2.5)  # ref stft.rs:365-367
+    return new_state, effective
+
+
+@jax.jit
+def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
+                     global_floor: jax.Array):
+    """mags [N, H], global_floor [N] → (final state, effective_floor [N, H]).
+
+    global_floor is the linear global floor derived from the AGC's
+    noise_floor_db: 10^(db/20) * half_size / 2 (ref stft.rs:322-324).
+    """
+    def body(s, inp):
+        m, g = inp
+        return _step(s, m, g)
+    return jax.lax.scan(body, state, (mags, global_floor))
+
+
+def global_floor_linear(noise_floor_db, half_size: int):
+    """ref stft.rs:322-324."""
+    return 10.0 ** (jnp.asarray(noise_floor_db, jnp.float32) / 20.0) * (half_size / 2.0)
+
+
+# ── NumPy oracle (direct transcription of the Rust loop) ─────────────────
+
+def noise_floor_np(mags: np.ndarray, global_floor: np.ndarray) -> np.ndarray:
+    """[N, H] magnitudes → [N, H] effective floors, float32 loop transcription."""
+    n, h = mags.shape
+    floor = np.zeros(h, dtype=np.float32)
+    prev = np.zeros(h, dtype=np.float32)
+    vol = np.zeros(h, dtype=np.float32)
+    out = np.zeros_like(mags, dtype=np.float32)
+    initialized = False
+    for i in range(n):
+        m = mags[i].astype(np.float32)
+        g = np.float32(global_floor[i])
+        if not initialized:
+            floor = np.maximum(m, g * np.float32(5.0))
+            prev = m.copy()
+            initialized = True
+        else:
+            delta = np.abs(m - prev)
+            vol = vol * np.float32(VOL_MEMORY) + delta * np.float32(1.0 - VOL_MEMORY)
+            prev = m.copy()
+            above = m / np.maximum(floor, np.float32(0.01))
+            vn = np.clip(vol / np.maximum(m, np.float32(0.05)), 0.0, 1.0)
+            sustained = (above > NOTE_RATIO) & (vn < NOTE_VOL_MAX)
+            alpha = np.where(m > floor,
+                             np.float32(FLOOR_BASE_ALPHA)
+                             + np.float32(FLOOR_FAST_ALPHA - FLOOR_BASE_ALPHA) * vn,
+                             np.float32(FLOOR_RELEASE))
+            floor = np.where(sustained, floor, floor + alpha * (m - floor))
+        out[i] = np.minimum(floor, g * np.float32(2.5))
+    return out

@@ -1,0 +1,273 @@
+"""Polyphonic pitch extraction: peaks → parabolic interp → harmonic comb.
+
+Vectorized port of `STFT::extract_pitches` (ref src/audio_io/stft.rs:443-620).
+The reference walks a Vec of peak bins with data-dependent loops; here every
+bin is scored in parallel (masked to peaks), the 13-harmonic comb is an
+unrolled loop of [H]-wide vector ops, and the data-dependent candidate list
+becomes a fixed top-K + masked greedy dedup — XLA/TPU-friendly static shapes.
+
+Constants (ref stft.rs:452-453,536-543,594,606):
+  MAX_HARMONICS=14, MAX_NOTES=8, fund gate 5x floor, structure gate
+  (longest_run<3 && fund<15x floor), cutoff 50% of max score, ghost ratios
+  2..5 at 3% tol / 5% score margin, dedup separation 2.0 bins.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_HARMONICS = 14
+MAX_NOTES = 8
+TOP_K = 32  # static candidate cap; the reference's Vec is unbounded but
+            # >32 peaks above half-max-score does not occur in practice.
+
+MIN_FREQ = 24.0      # ref stft.rs:173
+MAX_FREQ = 10_000.0  # ref stft.rs:174
+
+
+class PitchFrame(NamedTuple):
+    freqs: jax.Array   # [MAX_NOTES] float32
+    scores: jax.Array  # [MAX_NOTES] float32
+    valid: jax.Array   # [MAX_NOTES] bool
+
+
+def _extract_single(mags: jax.Array, noise_floor: jax.Array,
+                    bin_width: float, min_bin: int, max_bin: int,
+                    min_freq: float, max_freq: float) -> PitchFrame:
+    """One frame: mags [H], floor [H] → up to 8 (freq, score) pitches."""
+    half = mags.shape[0]
+    k = jnp.arange(half, dtype=jnp.int32)
+
+    # ── local peaks above the floor (ref stft.rs:461-469) ────────────────
+    m_l = jnp.concatenate([mags[:1], mags[:-1]])
+    m_r = jnp.concatenate([mags[1:], mags[-1:]])
+    in_range = (k >= min_bin + 1) & (k < max_bin)
+    is_peak = in_range & (mags > noise_floor) & (mags >= m_l) & (mags >= m_r)
+
+    # ── parabolic sub-bin interpolation in log-magnitude (stft.rs:484-497)
+    y = jnp.log(mags)
+    y_l = jnp.concatenate([y[:1], y[:-1]])
+    y_r = jnp.concatenate([y[1:], y[-1:]])
+    denom = y_l - 2.0 * y + y_r
+    delta = jnp.where(jnp.abs(denom) < 1e-30, 0.0,
+                      jnp.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
+    frac_bin = k.astype(jnp.float32) + delta
+
+    # ── harmonic comb scoring, all bins in parallel (stft.rs:499-545) ────
+    fund_mag = mags
+    score = fund_mag
+    last = k
+    longest_run = jnp.zeros((half,), jnp.int32)
+    current_run = jnp.zeros((half,), jnp.int32)
+    total_harms = jnp.zeros((half,), jnp.int32)
+    for n in range(2, MAX_HARMONICS + 1):
+        expected_f = frac_bin * n
+        valid_n = expected_f < half
+        search_base = jnp.clip(jnp.floor(expected_f - 1.0), 0, half - 1).astype(jnp.int32)
+        search_start = jnp.maximum(search_base, last + 1)
+        search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
+        # Candidate window: 5 bins from search_base cover [floor(e-1), ceil(e+1)].
+        h = search_base[:, None] + jnp.arange(5, dtype=jnp.int32)[None, :]
+        h_c = jnp.clip(h, 0, half - 1)
+        ok = ((h >= search_start[:, None]) & (h <= search_end[:, None])
+              & is_peak[h_c] & valid_n[:, None])
+        vals = jnp.where(ok, mags[h_c], -1.0)
+        bj = jnp.argmax(vals, axis=1)          # first max — matches Rust's
+        best_mag = jnp.take_along_axis(vals, bj[:, None], axis=1)[:, 0]
+        best_h = jnp.take_along_axis(h_c, bj[:, None], axis=1)[:, 0]
+        found = best_mag > 0.0                  # Rust: best_mag init 0, strict >
+        found_eff = found & valid_n
+        miss = (~found) & valid_n
+        score = score + jnp.where(found_eff, best_mag, 0.0)
+        last = jnp.where(found_eff, best_h, last)
+        longest_run = jnp.where(miss, jnp.maximum(longest_run, current_run), longest_run)
+        current_run = jnp.where(found_eff, current_run + 1,
+                                jnp.where(miss, 0, current_run))
+        total_harms = total_harms + found_eff.astype(jnp.int32)
+    longest_run = jnp.maximum(longest_run, current_run)
+
+    # Gates (stft.rs:479-481,536-544).
+    low_fund = fund_mag < noise_floor * 5.0
+    struct_fail = (longest_run < 3) & (fund_mag < 15.0 * noise_floor)
+    log_score = jnp.log2(0.5 + score)
+    struct_mult = (1.0 + longest_run.astype(jnp.float32)
+                   + total_harms.astype(jnp.float32) / 2.0) / (1.0 + MAX_HARMONICS)
+    scores = jnp.where(is_peak & ~low_fund & ~struct_fail,
+                       log_score * struct_mult, 0.0)
+
+    # ── cutoff at 50% of max (stft.rs:547-562) ──────────────────────────
+    peak_scores = jnp.where(is_peak, scores, 0.0)
+    max_score = jnp.max(jnp.maximum(peak_scores, 0.0))
+    cutoff = max_score * 0.5
+    cand_mask = is_peak & (scores >= cutoff) & (max_score > 0.0)
+
+    # Top-K by score (desc, ties → lower bin) — stands in for the sort.
+    top_vals, top_idx = jax.lax.top_k(jnp.where(cand_mask, scores, -jnp.inf), TOP_K)
+    cvalid = top_vals > -jnp.inf
+    cfrac = frac_bin[top_idx]
+    cfreq = cfrac * bin_width
+
+    # ── harmonic-ghost suppression (stft.rs:564-589) ─────────────────────
+    ratio = cfreq[:, None] / jnp.maximum(cfreq[None, :], 1e-30)
+    nearest = jnp.round(ratio)
+    eye = jnp.eye(TOP_K, dtype=bool)
+    ghost = (cvalid[:, None] & cvalid[None, :] & ~eye
+             & (nearest >= 2.0) & (nearest <= 5.0)
+             & (jnp.abs(ratio / jnp.maximum(nearest, 1e-30) - 1.0) < 0.03)
+             & (top_vals[:, None] < top_vals[None, :] * 1.05))
+    suppressed = jnp.any(ghost, axis=1)
+    cvalid = cvalid & ~suppressed
+
+    # ── greedy dedup by 2-bin separation, score-desc order (stft.rs:594-605)
+    def dedup_body(i, kept):
+        conflict = jnp.any(kept & (jnp.abs(cfrac - cfrac[i]) < 2.0))
+        return kept.at[i].set(cvalid[i] & ~conflict)
+    kept = jax.lax.fori_loop(0, TOP_K, dedup_body,
+                             jnp.zeros((TOP_K,), dtype=bool))
+
+    # ── take first MAX_NOTES kept, in score order (stft.rs:606-619) ─────
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    slot = jnp.where(kept & (rank < MAX_NOTES), rank, MAX_NOTES)
+    out_freq = jnp.zeros((MAX_NOTES + 1,), jnp.float32).at[slot].set(cfreq)[:MAX_NOTES]
+    out_score = jnp.zeros((MAX_NOTES + 1,), jnp.float32).at[slot].set(top_vals)[:MAX_NOTES]
+    out_valid = jnp.zeros((MAX_NOTES + 1,), bool).at[slot].set(kept)[:MAX_NOTES]
+    # Final frequency-range filter.
+    out_valid = out_valid & (out_freq >= min_freq) & (out_freq <= max_freq)
+    return PitchFrame(out_freq, out_score, out_valid)
+
+
+@partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq"))
+def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
+                    bin_width: float, min_freq: float = MIN_FREQ,
+                    max_freq: float = MAX_FREQ) -> PitchFrame:
+    """Batched pitch extraction: mags [N, H], floor [N, H] → PitchFrame [N, 8]."""
+    half = mags.shape[-1]
+    min_bin = max(int(np.ceil(min_freq / bin_width)), 1)
+    max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)
+    fn = partial(_extract_single, bin_width=bin_width, min_bin=min_bin,
+                 max_bin=max_bin, min_freq=min_freq, max_freq=max_freq)
+    return jax.vmap(fn)(mags, noise_floor)
+
+
+# ── NumPy oracle: direct transcription of the Rust algorithm ─────────────
+
+def extract_pitches_np(magnitudes: np.ndarray, noise_floor: np.ndarray,
+                       bin_width: float, min_freq: float = MIN_FREQ,
+                       max_freq: float = MAX_FREQ):
+    """Loop-for-loop float32 transcription of stft.rs:443-620 for parity tests.
+
+    Returns a list of (freq, score) like the Rust Vec.
+    """
+    half = len(magnitudes)
+    magnitudes = magnitudes.astype(np.float32)
+    noise_floor = noise_floor.astype(np.float32)
+    min_bin = max(int(np.ceil(min_freq / bin_width)), 1)
+    max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)
+    if min_bin >= max_bin:
+        return []
+
+    is_peak = np.zeros(half, dtype=bool)
+    peak_bins = []
+    for k in range(min_bin + 1, max_bin):
+        m = magnitudes[k]
+        if m > noise_floor[k] and m >= magnitudes[k - 1] and m >= magnitudes[k + 1]:
+            is_peak[k] = True
+            peak_bins.append(k)
+    if not peak_bins:
+        return []
+
+    scores = np.zeros(half, dtype=np.float32)
+    frac_bins = np.zeros(half, dtype=np.float32)
+    for k in peak_bins:
+        fund_mag = magnitudes[k]
+        if fund_mag < noise_floor[k] * 5.0:
+            scores[k] = 0.0
+            continue
+        y_l = np.log(magnitudes[k - 1])
+        y_c = np.log(magnitudes[k])
+        y_r = np.log(magnitudes[k + 1])
+        denom = y_l - 2.0 * y_c + y_r
+        delta = 0.0 if abs(denom) < 1e-30 else float(
+            np.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
+        frac_bin = np.float32(k + delta)
+        frac_bins[k] = frac_bin
+        score = np.float32(fund_mag)
+        last = k
+        longest_run = current_run = total_harms = 0
+        for n in range(2, MAX_HARMONICS + 1):
+            expected_f = frac_bin * n
+            if expected_f >= half:
+                break
+            search_start = max(int(np.floor(expected_f - 1.0)) if expected_f >= 1.0 else 0,
+                               last + 1)
+            search_end = min(int(np.ceil(expected_f + 1.0)), half - 1)
+            best_hbin, best_mag = 0, np.float32(0.0)
+            for h in range(search_start, search_end + 1):
+                if is_peak[h] and magnitudes[h] > best_mag:
+                    best_mag = magnitudes[h]
+                    best_hbin = h
+            if best_hbin != 0:
+                score = np.float32(score + best_mag)
+                last = best_hbin
+                current_run += 1
+                total_harms += 1
+            else:
+                longest_run = max(longest_run, current_run)
+                current_run = 0
+        longest_run = max(longest_run, current_run)
+        if longest_run < 3 and fund_mag < 15.0 * noise_floor[k]:
+            scores[k] = 0.0
+        else:
+            log_score = np.float32(np.log2(np.float32(0.5) + score))
+            struct_mult = np.float32(
+                (1.0 + longest_run + total_harms / 2.0) / (1.0 + MAX_HARMONICS))
+            scores[k] = np.float32(log_score * struct_mult)
+
+    max_score = max((scores[kk] for kk in peak_bins), default=0.0)
+    max_score = np.float32(max(max_score, 0.0))
+    if max_score == 0.0:
+        return []
+    cutoff = np.float32(max_score * np.float32(0.5))
+    candidates = [(kk, scores[kk]) for kk in peak_bins if scores[kk] >= cutoff]
+
+    def freq_of(b):
+        return np.float32(frac_bins[b] * np.float32(bin_width))
+
+    suppressed = []
+    for i, (bin_i, score_i) in enumerate(candidates):
+        fi = freq_of(bin_i)
+        sup = False
+        for j, (bin_j, score_j) in enumerate(candidates):
+            if i == j:
+                continue
+            fj = freq_of(bin_j)
+            ratio = fi / fj
+            nearest = np.round(ratio)
+            if (2.0 <= nearest <= 5.0
+                    and abs(ratio / nearest - 1.0) < 0.03
+                    and score_i < score_j * np.float32(1.05)):
+                sup = True
+                break
+        suppressed.append(sup)
+    candidates = [c for c, s in zip(candidates, suppressed) if not s]
+    # Stable sort desc by (score, then lower bin — to match top_k tie order).
+    candidates.sort(key=lambda c: (-c[1], c[0]))
+
+    deduped = []
+    for cand in candidates:
+        fi = frac_bins[cand[0]]
+        if not any(abs(fi - frac_bins[b]) < 2.0 for b, _ in deduped):
+            deduped.append(cand)
+    deduped = deduped[:MAX_NOTES]
+
+    out = []
+    for b, s in deduped:
+        f = freq_of(b)
+        if min_freq <= f <= max_freq:
+            out.append((float(f), float(s)))
+    return out

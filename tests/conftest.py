@@ -7,13 +7,26 @@ exactly as they would be on an 8-chip ICI mesh.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) pre-imports jax at
+# interpreter startup and pins the platform to the remote-TPU "axon" tunnel,
+# ignoring JAX_PLATFORMS.  Tests must force local CPU — both for speed (no
+# tunneled compiles) and for the 8-device virtual mesh — via jax.config,
+# which still wins as long as no computation has run yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: the big scan/vmap pipelines take tens of
+# seconds to compile; cache across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
