@@ -1,0 +1,103 @@
+"""Headline benchmark: pitch STFT+feature frames/sec/chip on 44.1 kHz mono.
+
+Runs the flagship pitch pipeline (frame → Hann x rDFT magnitude on the MXU →
+per-bin noise-floor scan → harmonic-comb pitch extraction → tracker scan) on
+the real TPU chip over 1 hour of synthesized 44.1 kHz mono audio, streamed in
+fixed-size chunks with state carry.
+
+Baseline: the Rust reference is realtime by construction (86.13 frames/s at
+window 2048 / hop 512, ref src/audio_io/stft.rs:169-171); the north star is
+>=100x realtime per chip (BASELINE.json) => vs_baseline = fps / 8613.3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics (incl. spectral-MSE fidelity check) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from audio_analyzer_rs_tpu.models.analyzer import pitch_analyze_frames
+    from audio_analyzer_rs_tpu.ops import noisefloor, tracker
+    from audio_analyzer_rs_tpu.ops.stft import stft_mags, stft_mags_np
+    from audio_analyzer_rs_tpu.utils.framing import frame_signal
+    from audio_analyzer_rs_tpu.models import generators as gen
+
+    sr = 44100.0
+    window, hop = 2048, 512
+    chunk_frames = 4096                      # ~47.6 s of audio per step
+    chunk_samples = (chunk_frames - 1) * hop + window
+    total_audio_s = 3600.0                   # 1 hour
+    total_frames_target = int((total_audio_s * sr - window) // hop + 1)
+    n_chunks = max(total_frames_target // chunk_frames, 1)
+
+    log(f"device: {jax.devices()[0]}")
+    log(f"chunk: {chunk_frames} frames ({chunk_samples} samples); "
+        f"{n_chunks} chunks for 1h")
+
+    # ── fidelity gate: spectral MSE vs float64 oracle ───────────────────
+    probe = gen.tone_with_harmonics(220.0, 1.0, sr, harmonics=8, amplitude=0.5)
+    mags = np.asarray(stft_mags(probe, window, hop))
+    oracle = stft_mags_np(probe, window, hop)
+    mse = float(np.mean((mags - oracle) ** 2) / np.mean(oracle ** 2))
+    log(f"spectral relative MSE vs float64 oracle: {mse:.3e}")
+    assert mse < 1e-6, f"fidelity gate failed: {mse}"
+
+    # ── build jitted streaming step ─────────────────────────────────────
+    @jax.jit
+    def step(nf_state, tr_state, audio, gf):
+        frames = frame_signal(audio, window, hop)
+        return pitch_analyze_frames(nf_state, tr_state, frames, gf,
+                                    jnp.zeros((chunk_frames,), bool), sr)
+
+    rng = np.random.default_rng(0)
+    base = gen.tone_with_harmonics(220.0, chunk_samples / sr, sr,
+                                   harmonics=10, amplitude=0.4)[:chunk_samples]
+    noise = (rng.standard_normal(chunk_samples) * 1e-3).astype(np.float32)
+    audio = jnp.asarray(base + noise)
+    gf = jnp.full((chunk_frames,), 1e-3, jnp.float32)
+
+    nf_state = noisefloor.init_state(window // 2 + 1)
+    tr_state = tracker.init_state()
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    nf_state, tr_state, out = step(nf_state, tr_state, audio, gf)
+    jax.block_until_ready(out)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    # Steady-state: run the 1-hour workload (or at least 8 chunks).
+    iters = max(min(n_chunks, 64), 8)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nf_state, tr_state, out = step(nf_state, tr_state, audio, gf)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters * chunk_frames / dt
+    audio_seconds = iters * chunk_frames * hop / sr
+    realtime_x = audio_seconds / dt
+    log(f"{iters} chunks in {dt:.2f}s -> {fps:,.0f} frames/s "
+        f"({realtime_x:,.0f}x realtime); full 1h would take "
+        f"{total_frames_target / fps:.2f}s")
+
+    baseline_fps = 100.0 * sr / hop   # north star: 100x realtime
+    print(json.dumps({
+        "metric": "pitch_pipeline_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s (window 2048, hop 512, 44.1kHz mono; STFT+noisefloor+pitch+tracker)",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
