@@ -72,7 +72,7 @@ def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
     def body(s, inp):
         m, g = inp
         return _step(s, m, g)
-    return jax.lax.scan(body, state, (mags, global_floor))
+    return jax.lax.scan(body, state, (mags, global_floor), unroll=8)
 
 
 def global_floor_linear(noise_floor_db, half_size: int):

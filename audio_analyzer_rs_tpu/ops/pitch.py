@@ -59,6 +59,19 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     frac_bin = k.astype(jnp.float32) + delta
 
     # ── harmonic comb scoring, all bins in parallel (stft.rs:499-545) ────
+    # TPU-critical restructure: dynamic gathers (mags at per-bin search
+    # windows) are catastrophically slow on TPU.  Since the window for
+    # harmonic n of bin k is centered at n*k (frac_bin deviates from k by at
+    # most ±1, so e = frac*n lies within ±n of n*k), every needed value
+    # pm[n*k + c] for c in [-n-1, n+1] is a *static strided slice* of a
+    # zero-padded peak-magnitude array — no gathers at all.  The dynamic
+    # fractional window [e-1, e+1] and the "past the last matched bin"
+    # constraint become pure arithmetic masks on the static position n*k+c.
+    pm = jnp.where(is_peak, mags, 0.0)
+    front = MAX_HARMONICS + 2
+    pad_len = front + half * MAX_HARMONICS + 2 * MAX_HARMONICS + 4
+    pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + half].set(pm)
+
     fund_mag = mags
     score = fund_mag
     last = k
@@ -68,19 +81,26 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     for n in range(2, MAX_HARMONICS + 1):
         expected_f = frac_bin * n
         valid_n = expected_f < half
-        search_base = jnp.clip(jnp.floor(expected_f - 1.0), 0, half - 1).astype(jnp.int32)
+        search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
         search_start = jnp.maximum(search_base, last + 1)
         search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
-        # Candidate window: 5 bins from search_base cover [floor(e-1), ceil(e+1)].
-        h = search_base[:, None] + jnp.arange(5, dtype=jnp.int32)[None, :]
-        h_c = jnp.clip(h, 0, half - 1)
-        ok = ((h >= search_start[:, None]) & (h <= search_end[:, None])
-              & is_peak[h_c] & valid_n[:, None])
-        vals = jnp.where(ok, mags[h_c], -1.0)
-        bj = jnp.argmax(vals, axis=1)          # first max — matches Rust's
-        best_mag = jnp.take_along_axis(vals, bj[:, None], axis=1)[:, 0]
-        best_h = jnp.take_along_axis(h_c, bj[:, None], axis=1)[:, 0]
-        found = best_mag > 0.0                  # Rust: best_mag init 0, strict >
+        # Window values for all offsets c in one stacked tensor; bounds become
+        # a broadcast band mask.  max/argmax pick the first (lowest-h) maximum
+        # like the Rust ascending scan with strict >.
+        cs_py = list(range(-n - 1, n + 2))
+        cs = jnp.asarray(cs_py, dtype=jnp.int32)
+        vals = jnp.stack([
+            jax.lax.slice(pm_pad, (front + c,),
+                          (front + c + half * n,), (n,))
+            for c in cs_py], axis=0)                          # [W, half]
+        nk = n * k
+        in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
+                   & (nk[None, :] + cs[:, None] <= search_end[None, :]))
+        masked = jnp.where(in_band, vals, 0.0)
+        best_mag = jnp.max(masked, axis=0)
+        best_w = jnp.argmax(masked, axis=0)
+        best_h = nk + best_w.astype(jnp.int32) - n - 1
+        found = best_mag > 0.0                                # strict-positive
         found_eff = found & valid_n
         miss = (~found) & valid_n
         score = score + jnp.where(found_eff, best_mag, 0.0)

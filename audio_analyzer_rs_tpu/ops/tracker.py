@@ -47,65 +47,93 @@ def init_state() -> TrackerState:
 
 
 def _step(state: TrackerState, raw_freq, raw_score, raw_valid, onset):
+    """One frame.  TPU-lean structure: the greedy matching loop (8 unrolled
+    rounds of [MAX_TRACKS]-wide selects, no scatters) runs first; spawning is
+    then fully vectorized by rank-matching unmatched raw pitches to free
+    slots.  This is exact: a track spawned within a frame is immediately
+    `matched` in the reference (ref stft.rs:76-83), so it can never be a
+    match candidate for a later raw pitch of the same frame — matching is
+    independent of spawns."""
     freq, score, life = state.freq, state.score, state.life
     valid, seq, next_seq = state.valid, state.seq, state.next_seq
     matched = jnp.zeros((MAX_TRACKS,), bool)
+    iota = jnp.arange(MAX_TRACKS, dtype=jnp.int32)
+    int_max = jnp.iinfo(jnp.int32).max
 
-    # 1. Match raw pitches to tracks in raw order; first matching track wins
-    #    (Rust scans tracks in vec order = ascending seq; ref stft.rs:50-83).
-    order = jnp.argsort(seq)  # vec order
+    # Hoisted per-frame values (tracks updated this frame are excluded via
+    # `matched`, so entry-state precomputation is exact).
+    rel_ok = (jnp.abs(freq[None, :] - raw_freq[:, None])
+              / jnp.maximum(jnp.abs(freq[None, :]), 1e-30)) < TOLERANCE
+    new_f_all = jnp.where(onset, raw_freq[:, None],
+                          freq[None, :] * EMA_OLD + raw_freq[:, None] * EMA_NEW)
+    life_inc = jnp.minimum(life + 1, MAX_LIFE)
+    seq_masked0 = seq  # valid slots carry real seq; invalid carry int_max
+
+    # Phase 1: greedy matching, raw order, first track in vec (seq) order.
+    any_flags = []
     for i in range(MAX_NOTES):
-        rf, rs, rv = raw_freq[i], raw_score[i], raw_valid[i]
-        rel = jnp.abs(freq - rf) / jnp.maximum(jnp.abs(freq), 1e-30)
-        cand = valid & ~matched & (rel < TOLERANCE)
-        cand_in_order = cand[order]
-        any_match = jnp.any(cand_in_order) & rv
-        first = order[jnp.argmax(cand_in_order)]
-        new_f = jnp.where(onset, rf, freq[first] * EMA_OLD + rf * EMA_NEW)
-        freq = jnp.where(any_match, freq.at[first].set(new_f), freq)
-        score = jnp.where(any_match, score.at[first].set(rs), score)
-        life = jnp.where(any_match,
-                         life.at[first].set(jnp.minimum(life[first] + 1, MAX_LIFE)),
-                         life)
-        matched = jnp.where(any_match, matched.at[first].set(True), matched)
-        # 2. Spawn a new track in the first free slot (ref stft.rs:76-83).
-        spawn = rv & ~any_match
-        free_slot = jnp.argmax(~valid)
-        has_free = jnp.any(~valid)
-        do_spawn = spawn & has_free
-        freq = jnp.where(do_spawn, freq.at[free_slot].set(rf), freq)
-        score = jnp.where(do_spawn, score.at[free_slot].set(rs), score)
-        life = jnp.where(do_spawn, life.at[free_slot].set(1), life)
-        seq = jnp.where(do_spawn, seq.at[free_slot].set(next_seq), seq)
-        matched = jnp.where(do_spawn, matched.at[free_slot].set(True), matched)
-        valid = jnp.where(do_spawn, valid.at[free_slot].set(True), valid)
-        next_seq = next_seq + do_spawn.astype(jnp.int32)
+        cand = valid & ~matched & rel_ok[i]
+        any_match = jnp.any(cand) & raw_valid[i]
+        first = jnp.argmin(jnp.where(cand, seq_masked0, int_max))
+        oh = (iota == first) & any_match
+        freq = jnp.where(oh, new_f_all[i], freq)
+        score = jnp.where(oh, raw_score[i], score)
+        life = jnp.where(oh, life_inc, life)
+        matched = matched | oh
+        any_flags.append(any_match)
+
+    # Phase 2: vectorized spawn of unmatched raw pitches into free slots.
+    unmatched_raw = raw_valid & ~jnp.stack(any_flags)          # [8]
+    free = ~valid
+    slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1         # rank among free
+    slot_rank = jnp.where(free, slot_rank, -1)
+    raw_rank = jnp.cumsum(unmatched_raw.astype(jnp.int32)) - 1
+    raw_rank = jnp.where(unmatched_raw, raw_rank, -2)
+    assign = slot_rank[None, :] == raw_rank[:, None]           # [8, 16]
+    oh_s = jnp.any(assign, axis=0)
+    a_f = assign.astype(jnp.float32)
+    freq = jnp.where(oh_s, raw_freq @ a_f, freq)
+    score = jnp.where(oh_s, raw_score @ a_f, score)
+    life = jnp.where(oh_s, 1, life)
+    seq = jnp.where(oh_s, next_seq
+                    + (jnp.maximum(raw_rank, 0).astype(jnp.float32) @ a_f
+                       ).astype(jnp.int32), seq)
+    matched = matched | oh_s
+    valid = valid | oh_s
+    next_seq = next_seq + jnp.sum(oh_s.astype(jnp.int32))
 
     # 3. Misses: decay or (on onset) reap immediately (ref stft.rs:86-113).
     unmatched = valid & ~matched
     life = jnp.where(unmatched, jnp.where(onset, 0, life - 1), life)
-    dead = valid & (life <= 0)
-    valid = valid & ~dead
-    seq = jnp.where(valid, seq, jnp.iinfo(jnp.int32).max)
+    valid = valid & (life > 0)
+    seq = jnp.where(valid, seq, int_max)
 
-    # Emit stable tracks (life >= 2) in vec (seq) order, up to MAX_NOTES.
+    # Emit the raw 16-slot snapshot; the stable-by-seq top-8 selection is a
+    # batched post-scan pass (keeps the sequential scan step minimal).
     stable = valid & (life >= DISPLAY_THRESHOLD)
-    emit_order = jnp.argsort(jnp.where(stable, seq, jnp.iinfo(jnp.int32).max))
-    out_freq = freq[emit_order][:MAX_NOTES]
-    out_score = score[emit_order][:MAX_NOTES]
-    out_valid = stable[emit_order][:MAX_NOTES]
     new_state = TrackerState(freq, score, life, valid, seq, next_seq)
-    return new_state, (out_freq, out_score, out_valid)
+    return new_state, (freq, score, stable, seq)
 
 
 @jax.jit
 def tracker_scan(state: TrackerState, raw_freqs, raw_scores, raw_valid,
                  onsets):
-    """raw_* [N, 8], onsets [N] bool → (state, (freqs, scores, valid) [N, 8])."""
+    """raw_* [N, 8], onsets [N] bool → (state, (freqs, scores, valid) [N, 8]).
+
+    Emissions are stable tracks (life >= 2) in creation order, capped at 8
+    (the Rust Vec preserves insertion order; ref stft.rs:106-112)."""
     def body(s, inp):
         rf, rs, rv, on = inp
         return _step(s, rf, rs, rv, on)
-    return jax.lax.scan(body, state, (raw_freqs, raw_scores, raw_valid, onsets))
+    state, (freq, score, stable, seq) = jax.lax.scan(
+        body, state, (raw_freqs, raw_scores, raw_valid, onsets), unroll=16)
+    # Batched (parallel over frames) stable-by-seq top-8 selection.
+    int_max = jnp.iinfo(jnp.int32).max
+    order = jnp.argsort(jnp.where(stable, seq, int_max), axis=-1)[:, :MAX_NOTES]
+    out_freq = jnp.take_along_axis(freq, order, axis=-1)
+    out_score = jnp.take_along_axis(score, order, axis=-1)
+    out_valid = jnp.take_along_axis(stable, order, axis=-1)
+    return state, (out_freq, out_score, out_valid)
 
 
 # ── NumPy oracle: transcription of the Rust PitchTracker ─────────────────

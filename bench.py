@@ -35,7 +35,7 @@ def main():
 
     sr = 44100.0
     window, hop = 2048, 512
-    chunk_frames = 4096                      # ~47.6 s of audio per step
+    chunk_frames = 1024                      # ~11.9 s of audio per step
     chunk_samples = (chunk_frames - 1) * hop + window
     total_audio_s = 3600.0                   # 1 hour
     total_frames_target = int((total_audio_s * sr - window) // hop + 1)
@@ -70,10 +70,15 @@ def main():
     nf_state = noisefloor.init_state(window // 2 + 1)
     tr_state = tracker.init_state()
 
+    def force(x):
+        # On the axon backend block_until_ready does not actually block;
+        # a host readback of a small leaf guarantees completion.
+        return np.asarray(x.stable_valid).sum()
+
     # Warmup / compile.
     t0 = time.perf_counter()
     nf_state, tr_state, out = step(nf_state, tr_state, audio, gf)
-    jax.block_until_ready(out)
+    force(out)
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
     # Steady-state: run the 1-hour workload (or at least 8 chunks).
@@ -81,7 +86,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         nf_state, tr_state, out = step(nf_state, tr_state, audio, gf)
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     fps = iters * chunk_frames / dt
     audio_seconds = iters * chunk_frames * hop / sr
