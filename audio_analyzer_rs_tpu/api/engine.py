@@ -1,0 +1,692 @@
+"""AudioEngine — the uniffi-shaped public API over the virtual audio device.
+
+Mirrors the reference's exported objects (ref src/lib.rs:63-849): AudioEngine
+(constructor, start_input/start_output, create/stop for each worker with a
+singleton-per-type "Already active" guard, poll_dynamics / poll_transport
+JSON), Tuner, Metronome, Synth, Player, Recording, OnsetDetection, and
+PracticeSession — with the same method names, string-enum mappings (including
+silent fallbacks), and the same JSON schemas.
+
+The audio path: virtual device input callback → host reducer (biquads + gate,
+ref mod.rs:336-511) → AGC/dynamics (ref dynamics.rs) → fan-out to consumers
+(recorder / pitch STFT → tuner / onset detector).  The analyzers run as
+device (JAX) streaming kernels fed per callback; the fan-out is plain
+function calls instead of the reference's SlotPool + SPSC rings — the
+batching IS the fabric (SURVEY §2 checklist).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import wave as wave_mod
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..models.analyzer import OnsetAnalyzer, PitchAnalyzer
+from ..models.calibration import CalibrationClick
+from ..models.metronome import Metronome as MetronomeSource
+from ..models.player import AudioPlayer, PlayerController
+from ..models.sources import Mixer, OutputController
+from ..models.synth import Synthesizer, instrument_from
+from ..models.tuner import Tuner as TunerCore
+from ..ops.dynamics import DynamicsTrackerNp, LEVEL_NAMES
+from ..ops.onset import HOP as ONSET_HOP, TICK_GUARD_S, WINDOW as ONSET_WINDOW
+from ..ops.reducer import HostReducer
+from ..ops.stft import PITCH_HOP, PITCH_WINDOW
+from ..practice.session import PracticeSession as PracticeCore
+from ..practice.types import practice_mode_from_str
+from ..transport import MusicalTransport, OnsetEvent
+from ..utils.wav import quantize_i16
+from .device import InputSource, VirtualAudioDevice
+
+
+class AudioEngineError(Exception):
+    pass
+
+
+class DeviceUnavailable(AudioEngineError):
+    def __init__(self, msg):
+        super().__init__(f"Audio device unavailable: {msg}")
+
+
+class StreamFailed(AudioEngineError):
+    def __init__(self, msg):
+        super().__init__(f"Audio stream failed: {msg}")
+
+
+class SpawnFailed(AudioEngineError):
+    def __init__(self, component, msg):
+        super().__init__(f"Failed to start {component}: {msg}")
+
+
+class FileError(AudioEngineError):
+    def __init__(self, msg):
+        super().__init__(f"File error: {msg}")
+
+
+class InternalError(AudioEngineError):
+    def __init__(self, msg):
+        super().__init__(f"Internal engine error: {msg}")
+
+
+# ── Exported objects (ref lib.rs:63-351) ─────────────────────────────────
+
+class Tuner:
+    def __init__(self, core: TunerCore):
+        self._core = core
+
+    def poll_output(self) -> str:
+        return json.dumps(self._core.output.to_dict())
+
+    def output_handle(self) -> TunerCore:
+        return self._core
+
+    def set_base_freq(self, freq: float) -> None:
+        self._core.send("SetBaseFreq", freq)
+
+    def set_key(self, key: str) -> None:
+        self._core.send("SetKey", key)
+
+    def set_mode(self, mode: str) -> None:
+        # Silent fallback mapping (ref lib.rs:95-104).
+        self._core.send("SetMode",
+                        "SinglePitch" if mode == "SinglePitch" else "MultiPitch")
+
+    def set_system(self, system: str) -> None:
+        self._core.send("SetSystem",
+                        "JustIntonation" if system == "JustIntonation"
+                        else "EqualTemperament")
+
+    def send(self, *cmd) -> None:
+        self._core.send(*cmd)
+
+
+def _pattern_from_ints(pattern: List[int]) -> List[str]:
+    """3→Strong 2→Medium 1→Weak else None (ref lib.rs:136-145)."""
+    return [{3: "Strong", 2: "Medium", 1: "Weak"}.get(p, "None")
+            for p in pattern]
+
+
+class Metronome:
+    def __init__(self, source: MetronomeSource):
+        self._source = source
+
+    def set_bpm(self, bpm: float) -> bool:
+        return self._source.send("SetBpm", bpm)
+
+    def set_volume(self, volume: float) -> bool:
+        return self._source.send("SetVolume", volume)
+
+    def set_pattern(self, pattern: List[int]) -> bool:
+        return self._source.send("SetPattern", _pattern_from_ints(pattern))
+
+    def set_muted(self, muted: bool) -> bool:
+        return self._source.send("SetMuted", muted)
+
+    def set_polyrhythm(self, subdivisions: List[int], beat_index: int) -> bool:
+        return self._source.send("SetPolyrhythm", list(subdivisions), beat_index)
+
+
+class Synth:
+    def __init__(self, source: Synthesizer):
+        self._source = source
+
+    @staticmethod
+    def _instrument(name: str) -> str:
+        # Silent fallback: Piano else Violin (ref lib.rs:179-182).
+        return "Piano" if name == "Piano" else "Violin"
+
+    def load_file(self, path: str, instrument: str) -> bool:
+        return self._source.send("LoadFile", path, self._instrument(instrument))
+
+    def play(self, start_measure_idx: int) -> bool:
+        return self._source.send("Play", start_measure_idx)
+
+    def play_note(self, freq: float, velocity: float, instrument: str) -> bool:
+        if velocity > 0.0:
+            return self._source.send("NoteOn", freq, velocity,
+                                     self._instrument(instrument))
+        return self._source.send("NoteOff", freq)
+
+    def pause(self) -> None:
+        self._source.send("Pause")
+
+    def resume(self) -> None:
+        self._source.send("Resume")
+
+    def clear(self) -> bool:
+        return self._source.send("Clear")
+
+    def set_volume(self, volume: float) -> None:
+        self._source.send("SetVolume", volume)
+
+    def set_muted(self, muted: bool) -> bool:
+        return self._source.send("SetMuted", muted)
+
+
+class Player:
+    def __init__(self, controller: PlayerController):
+        self._controller = controller
+
+    def load_track(self, path: str) -> None:
+        try:
+            self._controller.load_file(path)
+        except (OSError, ValueError, EOFError) as e:
+            raise FileError(str(e))
+
+    def play(self) -> None:
+        self._controller.play()
+
+    def pause(self) -> None:
+        self._controller.pause()
+
+    def seek(self, seconds: float) -> None:
+        self._controller.seek(seconds)
+
+
+class Recording:
+    """WAV recorder consumer (ref audio_io/recorder.rs, lib.rs:283-302)."""
+
+    def __init__(self, path: str, sample_rate: int):
+        self._writer = wave_mod.open(path, "wb")
+        self._writer.setnchannels(1)
+        self._writer.setsampwidth(2)
+        self._writer.setframerate(sample_rate)
+        self.state = 1   # -1 stop / 0 pause / 1 run
+        self._finalized = False
+
+    def consume(self, slot: np.ndarray) -> None:
+        if self.state == 1:
+            self._writer.writeframes(quantize_i16(slot).tobytes())
+
+    def pause(self) -> None:
+        self.state = 0
+
+    def resume(self) -> None:
+        self.state = 1
+
+    def stop(self) -> None:
+        self.state = -1
+        if not self._finalized:
+            self._writer.close()
+            self._finalized = True
+
+
+class OnsetDetection:
+    def __init__(self, engine: "AudioEngine"):
+        self._engine = engine
+        self._events: List[OnsetEvent] = []
+        self.state = 1
+        self._lock = threading.Lock()
+
+    def _push(self, event: OnsetEvent) -> None:
+        with self._lock:
+            self._events.append(event)
+
+    def drain_onset_events(self) -> List[OnsetEvent]:
+        with self._lock:
+            events, self._events = self._events, []
+        return events
+
+    def poll_onsets(self) -> str:
+        """Exact manual JSON format (ref lib.rs:326-338)."""
+        items = [
+            f'{{"beat_position":{e.beat_position:.6f},'
+            f'"raw_sample_offset":{e.raw_sample_offset},'
+            f'"velocity":{e.velocity:.4f}}}'
+            for e in self.drain_onset_events()]
+        return "[" + ",".join(items) + "]"
+
+    def pause(self) -> None:
+        self.state = 0
+
+    def resume(self) -> None:
+        self.state = 1
+
+    def stop(self) -> None:
+        self.state = -1
+
+
+class PracticeSession:
+    def __init__(self, core: PracticeCore):
+        self._core = core
+
+    def start(self, start_measure: int, end_measure: int) -> None:
+        try:
+            self._core.start(start_measure, end_measure)
+        except ValueError as e:
+            raise InternalError(str(e))
+
+    def stop(self) -> None:
+        self._core.stop()
+
+    def tick(self) -> bool:
+        return self._core.tick()
+
+    def poll_transport(self) -> str:
+        return self._core.poll_transport()
+
+    def poll_errors(self) -> str:
+        return self._core.poll_errors()
+
+    def get_metrics(self) -> str:
+        return self._core.get_metrics()
+
+    def is_running(self) -> bool:
+        return self._core.is_running()
+
+    def set_tuner_mode(self, mode: str) -> None:
+        self._core.set_tuner_mode(mode)
+
+    def set_bpm(self, bpm: float) -> None:
+        self._core.set_bpm(bpm)
+
+
+# ── Pitch / onset consumers (the reference's worker threads) ─────────────
+
+class _PitchConsumer:
+    """STFT pitch worker + tuner (ref stft.rs:155-441, tuner.rs:129-211)."""
+
+    def __init__(self, engine: "AudioEngine"):
+        self.engine = engine
+        self.analyzer = PitchAnalyzer(engine.sample_rate)
+        self.tuner_core = TunerCore()
+        self.state = 1
+
+    def consume(self, slot: np.ndarray) -> None:
+        if self.state != 1:
+            return
+        e = self.engine
+        # onset_pending is consumed once per burst (ref stft.rs:387 swaps it
+        # per frame; the flag can only be set once between bursts here).
+        onset_flag = e.onset_pending
+        e.onset_pending = False
+        base = self.analyzer.frames_consumed
+        out = self.analyzer.process(
+            slot, global_floor_db=e.dynamics_out["noise_floor_db"],
+            onset_first=onset_flag)
+        if out is None:
+            return
+        n = len(out.stable_freqs)
+        # Deterministic per-frame beats: each frame is stamped at the input
+        # sample where its window ended (the reference stamps with the beat
+        # at thread-emission time; sample-indexed time makes that exact).
+        total_in = e.transport.get_input_frames()
+        frame_end = (base + np.arange(n)) * PITCH_HOP + PITCH_WINDOW
+        beats_per_sample = e.transport.get_bpm() / (60.0 * e.sample_rate)
+        now_beat = e.transport.get_accumulated_beats()
+        for i in range(n):
+            pitches = [(float(out.stable_freqs[i][j]), float(out.stable_scores[i][j]))
+                       for j in range(out.stable_valid.shape[1])
+                       if out.stable_valid[i][j]]
+            if pitches:
+                beat = now_beat - (total_in - frame_end[i]) * beats_per_sample
+                self.tuner_core.process(pitches, beat)
+
+
+class _OnsetConsumer:
+    """Onset worker incl. latency self-calibration (ref onset.rs:104-546)."""
+
+    def __init__(self, engine: "AudioEngine", detection: OnsetDetection):
+        self.engine = engine
+        self.detection = detection
+        self.analyzer = OnsetAnalyzer(engine.sample_rate)
+        self.calibration_done = engine.transport.is_calibrated()
+        self.calibration_start_frame = engine.transport.get_output_frames()
+        self.calibration_timeout = int(engine.sample_rate) * 2
+
+    def consume(self, slot: np.ndarray) -> None:
+        if self.detection.state != 1:
+            return
+        e = self.engine
+        t = e.transport
+        # Precompute per-frame tick suppression from the transport's tick
+        # history (ref onset.rs:383-395 stamps then checks the history).
+        n_expected = (len(self.analyzer._tail) + len(slot) - ONSET_WINDOW) \
+            // ONSET_HOP + 1
+        base = self.analyzer.frames_consumed
+        guard_beats = TICK_GUARD_S * t.get_bpm() / 60.0
+        tick_sup = np.zeros(max(n_expected, 0), dtype=bool)
+        for i in range(max(n_expected, 0)):
+            center = (base + i) * ONSET_HOP + ONSET_WINDOW // 2
+            ev = t.stamp_onset(center - t.get_input_frames(), 0.0)
+            tick_sup[i] = (t.nearest_tick_distance_beats(ev.beat_position)
+                           < guard_beats)
+        out = self.analyzer.process(
+            slot, global_floor_db=e.dynamics_out["noise_floor_db"],
+            tick_suppressed=tick_sup)
+        if out is None:
+            return
+        n = len(out.fired)
+        # Calibration timeout (ref onset.rs:361-371).
+        if not self.calibration_done:
+            elapsed = t.get_output_frames() - self.calibration_start_frame
+            if elapsed > self.calibration_timeout:
+                t.set_calibration_offset(0)
+                self.calibration_done = True
+        for i in range(n):
+            if not out.fired[i]:
+                continue
+            center = (base + i) * ONSET_HOP + ONSET_WINDOW // 2
+            offset = center - t.get_input_frames()
+            event = t.stamp_onset(int(offset), float(out.velocity[i]))
+            if not self.calibration_done:
+                target = e.calibration_target
+                if target == 0:
+                    continue  # pre-calibration noise
+                residual = event.output_samples - target
+                if residual < 0 or residual > int(e.sample_rate * 0.5):
+                    continue  # implausible — retry
+                t.set_calibration_offset(int(residual))
+                self.calibration_done = True
+                e.onset_pending = False
+            else:
+                self.detection._push(event)
+                e.onset_pending = True
+
+
+# ── The main engine (ref lib.rs:434-849) ─────────────────────────────────
+
+class AudioEngine:
+    def __init__(self, input_source: Optional[InputSource] = None,
+                 sample_rate: float = 48000.0, buffer_size: int = 1024,
+                 loopback_latency_samples: int = 0,
+                 loopback_gain: float = 0.0):
+        self.sample_rate = float(sample_rate)
+        self.buffer_size = int(buffer_size)
+        self.device = VirtualAudioDevice(
+            sample_rate=sample_rate, buffer_size=buffer_size,
+            input_source=input_source,
+            loopback_latency_samples=loopback_latency_samples,
+            loopback_gain=loopback_gain)
+        self.transport = MusicalTransport(120.0, sample_rate)
+        # Seed latency estimates from the buffer size (ref mod.rs:242-247).
+        self.transport.set_output_latency(buffer_size)
+        self.transport.set_input_latency(buffer_size)
+        self.mixer = Mixer(1)
+        self.reducer = HostReducer(sample_rate)
+        # target -18 dBFS / max boost 100 dB / 240 s TC (ref mod.rs:341-349)
+        self.dynamics = DynamicsTrackerNp(sample_rate, buffer_size)
+        self.dynamics_out = {"level": -1, "rms_db": -96.0, "gain_db": 0.0,
+                             "session_median_db": -96.0,
+                             "noise_floor_db": -96.0}
+        self.onset_pending = False
+        self.calibration_target = 0
+        self._consumers: dict = {}
+        self._available_handles = list(range(255, -1, -1))
+        self.active_tuner: Optional[Tuner] = None
+        self.active_metronome: Optional[Metronome] = None
+        self.active_synth: Optional[Synth] = None
+        self.active_player: Optional[Player] = None
+        self.active_recording: Optional[Recording] = None
+        self.active_onset: Optional[OnsetDetection] = None
+        self.active_practice_session: Optional[PracticeSession] = None
+        self._epoch = time.monotonic()
+        self.device.input_callback = self._input_callback
+        self.device.output_callback = self._output_callback
+
+    # ── stream control (ref mod.rs:561-655) ─────────────────────────────
+
+    def start_input(self) -> None:
+        self.device.input_running = True
+
+    def start_output(self) -> None:
+        self.device.output_running = True
+        self.transport.play()
+
+    def stop_input(self) -> None:
+        self.device.input_running = False
+
+    def stop_output(self) -> None:
+        self.transport.stop()
+        self.device.output_running = False
+
+    def clean_input(self) -> None:
+        if not self._consumers:
+            self.stop_input()
+
+    def clean_output(self) -> None:
+        if not self.mixer.has_sources():
+            self.stop_output()
+
+    def advance(self, seconds: float) -> None:
+        """Run virtual time forward (offline deterministic mode)."""
+        n = int(round(seconds * self.sample_rate)) // self.buffer_size
+        for _ in range(n):
+            self.device.step()
+            ps = self.active_practice_session
+            if ps is not None and ps.is_running():
+                ps.tick()
+
+    # ── callbacks ────────────────────────────────────────────────────────
+
+    def _output_callback(self, buf: np.ndarray) -> None:
+        frames = len(buf)
+        self.transport.tick_output(
+            frames, self.device.samples_elapsed / self.sample_rate)
+        self.mixer.process(buf, 1)
+
+    def _input_callback(self, mono: np.ndarray) -> None:
+        self.transport.tick_input(len(mono))
+        conditioned = self.reducer.process(mono)
+        d = self.dynamics.process_slot(conditioned)
+        self.dynamics_out = {k: d[k] for k in
+                             ("level", "rms_db", "gain_db",
+                              "session_median_db", "noise_floor_db")}
+        slot = d["slot"]
+        # Onset before pitch so onset_pending reaches the tracker in-burst
+        # (the reference's onset thread runs at 4x the pitch hop rate).
+        ordered = sorted(self._consumers.items(),
+                         key=lambda kv: 0 if isinstance(kv[1], _OnsetConsumer) else 1)
+        for _, consumer in ordered:
+            consumer.consume(slot)
+
+    # ── spawns (ref lib.rs:448-624, mod.rs:944-1129) ─────────────────────
+
+    def _take_handle(self, component: str) -> int:
+        if not self._available_handles:
+            raise SpawnFailed(component,
+                              "All 255 audio consumer slots are already in use")
+        return self._available_handles.pop()
+
+    def create_metronome(self, bpm: float, pattern: List[int],
+                         polys: List[List[int]], volume: float,
+                         restart: bool) -> Metronome:
+        if self.active_metronome is not None:
+            raise SpawnFailed("metronome", "Already active")
+        self.start_output()
+        source = MetronomeSource(self.sample_rate, self.transport, bpm=bpm,
+                                 pattern=_pattern_from_ints(pattern),
+                                 polys=[list(p) for p in polys],
+                                 volume=volume, restart=restart)
+        self.mixer.add_source(source)
+        self.active_metronome = Metronome(source)
+        return self.active_metronome
+
+    def create_synth(self) -> Synth:
+        if self.active_synth is not None:
+            raise SpawnFailed("synth", "Already active")
+        self.start_output()
+        source = Synthesizer(self.sample_rate, self.transport)
+        if self.active_metronome is not None:
+            source.send("LinkMetronome", self.active_metronome._source)
+        self.mixer.add_source(source)
+        self.active_synth = Synth(source)
+        return self.active_synth
+
+    def create_player(self) -> Player:
+        if self.active_player is not None:
+            raise SpawnFailed("player", "Already active")
+        self.start_output()
+        source = AudioPlayer(self.sample_rate)
+        self.mixer.add_source(source)
+        self.active_player = Player(PlayerController(source))
+        return self.active_player
+
+    def start_recording(self, path: str) -> Recording:
+        if self.active_recording is not None:
+            raise SpawnFailed("recorder", "Already active")
+        self.start_input()
+        handle = self._take_handle("recorder")
+        rec = Recording(path, int(self.sample_rate))
+        rec._handle = handle
+        self._consumers[handle] = rec
+        self.active_recording = rec
+        return rec
+
+    def start_tuner(self) -> Tuner:
+        if self.active_tuner is not None:
+            raise SpawnFailed("tuner", "Already active")
+        self.start_input()
+        handle = self._take_handle("tuner")
+        consumer = _PitchConsumer(self)
+        self._consumers[handle] = consumer
+        tuner = Tuner(consumer.tuner_core)
+        tuner._handle = handle
+        self.active_tuner = tuner
+        return tuner
+
+    def start_onset_detection(self) -> OnsetDetection:
+        if self.active_onset is not None:
+            raise SpawnFailed("onset detector", "Already active")
+        self.start_input()
+        self.start_output()
+        handle = self._take_handle("onset detector")
+        detection = OnsetDetection(self)
+        consumer = _OnsetConsumer(self, detection)
+        self._consumers[handle] = consumer
+        detection._handle = handle
+        # Round-trip latency self-calibration (ref mod.rs:1055-1087).
+        needs_calibration = (not self.transport.is_calibrated()
+                             or self.transport.get_calibration_offset() == 0)
+        if needs_calibration:
+            delay = int(self.sample_rate) // 5   # ~200 ms ahead
+            click = CalibrationClick(self.transport, self.sample_rate, delay,
+                                     volume=0.8)
+            self._calibration_click = click
+            click_engine = self
+
+            class _TargetPublishingClick:
+                def process(self, buf, ch):
+                    click.process(buf, ch)
+                    if click.fired:
+                        click_engine.calibration_target = click.actual_frame
+
+                def is_finished(self):
+                    return click.is_finished()
+
+            self.mixer.add_source(_TargetPublishingClick())
+        self.active_onset = detection
+        return detection
+
+    # ── stops (ref lib.rs:626-788) ───────────────────────────────────────
+
+    def _release(self, obj) -> None:
+        handle = getattr(obj, "_handle", None)
+        if handle is not None and handle in self._consumers:
+            del self._consumers[handle]
+            self._available_handles.append(handle)
+
+    def stop_metronome(self) -> None:
+        if self.active_metronome is not None:
+            self.active_metronome._source.send("Stop")
+            self.active_metronome = None
+        self.clean_output()
+
+    def stop_synth(self) -> None:
+        if self.active_synth is not None:
+            self.active_synth._source.send("Stop")
+            self.active_synth._source.send("End")
+            self.active_synth = None
+        self.clean_output()
+
+    def stop_player(self) -> None:
+        if self.active_player is not None:
+            self.active_player._controller.stop()
+            self.active_player._controller._player.finished = True
+            self.active_player = None
+        self.clean_output()
+
+    def stop_recording(self) -> None:
+        if self.active_recording is not None:
+            self.active_recording.stop()
+            self._release(self.active_recording)
+            self.active_recording = None
+        self.clean_input()
+
+    def stop_onset_detection(self) -> None:
+        if self.active_onset is not None:
+            self.active_onset.stop()
+            self._release(self.active_onset)
+            self.active_onset = None
+        self.clean_input()
+
+    def stop_tuner(self) -> None:
+        if self.active_tuner is not None:
+            self.active_tuner.send("End")
+            self._release(self.active_tuner)
+            self.active_tuner = None
+        self.clean_input()
+
+    # ── practice session (ref lib.rs:684-777) ────────────────────────────
+
+    def create_practice_session(self, midi_path: str, instrument: str,
+                                countoff_beats: int, mode: str,
+                                ability_level: str, bpm: float
+                                ) -> PracticeSession:
+        if self.active_practice_session is not None:
+            raise SpawnFailed("practice session", "Already active")
+        level_map = {"beginner": "Beginner", "intermediate": "Intermediate",
+                     "advanced": "Advanced", "pro": "Pro"}
+        level = level_map.get(ability_level.lower())
+        if level is None:
+            raise InternalError(
+                f"Unknown ability level '{ability_level.lower()}'. Expected "
+                f"one of: Beginner, Intermediate, Advanced, Pro")
+        practice_mode = practice_mode_from_str(mode)
+        if practice_mode is None:
+            raise InternalError(
+                f"Unknown practice mode '{mode}'. Expected one of: "
+                f"FollowAlong, Performance, Rubato")
+        tuner = self.start_tuner()
+        onset = self.start_onset_detection()
+        try:
+            instrument_from(instrument)
+            core = PracticeCore(
+                transport=self.transport,
+                tuner=tuner.output_handle(),
+                onset=onset,
+                dynamics_output=lambda: self.dynamics_out["level"],
+                midi_path=midi_path, instrument=instrument,
+                countoff_beats=countoff_beats, mode=practice_mode,
+                ability_level=level, bpm=bpm)
+        except (OSError, ValueError) as e:
+            self.stop_tuner()
+            self.stop_onset_detection()
+            raise FileError(str(e))
+        session = PracticeSession(core)
+        self.active_practice_session = session
+        return session
+
+    def stop_practice_session(self) -> None:
+        if self.active_practice_session is not None:
+            self.active_practice_session.stop()
+            self.active_practice_session = None
+        self.stop_tuner()
+        self.stop_onset_detection()
+
+    # ── polling surfaces (ref lib.rs:790-816) ────────────────────────────
+
+    def poll_dynamics(self) -> str:
+        d = self.dynamics_out
+        level = LEVEL_NAMES[int(d["level"]) + 1]
+        return (f'{{"level":"{level}","rms_db":{d["rms_db"]:.1f},'
+                f'"gain_db":{d["gain_db"]:.1f},'
+                f'"session_median_db":{d["session_median_db"]:.1f},'
+                f'"noise_floor_db":{d["noise_floor_db"]:.1f}}}')
+
+    def poll_transport(self) -> str:
+        return json.dumps(self.transport.snapshot().to_dict())

@@ -66,18 +66,22 @@ class PitchAnalyzer:
     def __post_init__(self):
         self.nf_state = noisefloor.init_state(self.window // 2 + 1)
         self.tr_state = tracker.init_state()
+        self.frames_consumed = 0
 
     def reset(self):
         self._tail = np.zeros(0, np.float32)
         self.nf_state = noisefloor.init_state(self.window // 2 + 1)
         self.tr_state = tracker.init_state()
+        self.frames_consumed = 0
 
     def process(self, samples: np.ndarray, global_floor_db: float = -96.0,
-                onset_pending: Optional[np.ndarray] = None):
+                onset_pending: Optional[np.ndarray] = None,
+                onset_first: bool = False):
         """Feed a chunk; returns per-frame outputs (may be empty).
 
         `onset_pending`: optional [n_frames] bool — the onset_pending flag the
-        onset detector sets (ref stft.rs:387).  Defaults to all-False.
+        onset detector sets (ref stft.rs:387).  `onset_first` marks just the
+        first frame of this burst (the streaming engine's one-shot flag).
         """
         buf = np.concatenate([self._tail, np.asarray(samples, np.float32)])
         n = num_frames(len(buf), self.window, self.hop)
@@ -90,12 +94,17 @@ class PitchAnalyzer:
         half = self.window // 2 + 1
         gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
                      np.float32)
-        onsets = (np.zeros(n, bool) if onset_pending is None
-                  else np.asarray(onset_pending, bool)[:n])
+        if onset_pending is not None:
+            onsets = np.asarray(onset_pending, bool)[:n]
+        else:
+            onsets = np.zeros(n, bool)
+            if onset_first:
+                onsets[0] = True
         self.nf_state, self.tr_state, out = pitch_analyze_frames(
             self.nf_state, self.tr_state, jnp.asarray(frames), jnp.asarray(gf),
             jnp.asarray(onsets), self.sample_rate, self.window, self.hop,
             self.backend)
+        self.frames_consumed += n
         return jax.tree.map(np.asarray, out)
 
 

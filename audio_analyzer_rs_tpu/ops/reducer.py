@@ -213,6 +213,61 @@ def reduce_signal(state: ReducerState, x: jax.Array, sample_rate: float,
 
 # ── NumPy oracle: per-sample transcription (float32) ─────────────────────
 
+class HostReducer:
+    """Stateful streaming host-side reducer (float32 per-sample loop).
+
+    This is the architectural twin of the reference's reducer thread — light
+    sequential conditioning belongs on the host CPU (the reference runs it on
+    a dedicated thread, ref mod.rs:336-511); the TPU takes the batched FFT
+    work.  Superseded by the C++ runtime reducer when built (runtime/)."""
+
+    def __init__(self, sample_rate: float):
+        f32 = np.float32
+        self.sample_rate = sample_rate
+        self.hp = biquad_coeffs(HPF_FREQ, sample_rate, is_lpf=False)
+        self.lp = biquad_coeffs(LPF_FREQ, sample_rate, is_lpf=True)
+        self.hp_state = [f32(0.0)] * 4   # x1 x2 y1 y2
+        self.lp_state = [f32(0.0)] * 4
+        self.threshold = f32(10.0 ** (GATE_THRESHOLD_DB / 20.0))
+        self.envelope = f32(0.0)
+        self.release = f32(np.exp(f32(-1.0) / f32(GATE_RELEASE_S * sample_rate)))
+        self.hold_samples = int(GATE_HOLD_S * sample_rate)
+        self.hold = 0
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        f32 = np.float32
+        hb0, hb1, hb2, ha1, ha2 = self.hp
+        lb0, lb1, lb2, la1, la2 = self.lp
+        hx1, hx2, hy1, hy2 = self.hp_state
+        lx1, lx2, ly1, ly2 = self.lp_state
+        env, hold = self.envelope, self.hold
+        out = np.empty(len(x), dtype=np.float32)
+        for i, xi in enumerate(np.asarray(x, dtype=np.float32)):
+            h = f32(hb0 * xi + hb1 * hx1 + hb2 * hx2 - ha1 * hy1 - ha2 * hy2)
+            hx2, hx1, hy2, hy1 = hx1, xi, hy1, h
+            l = f32(lb0 * h + lb1 * lx1 + lb2 * lx2 - la1 * ly1 - la2 * ly2)
+            lx2, lx1, ly2, ly1 = lx1, h, ly1, l
+            a = abs(l)
+            if a > env:
+                env = a
+                hold = self.hold_samples
+            else:
+                env = f32(self.release * env + (f32(1.0) - self.release) * a)
+            if env >= self.threshold:
+                gain = f32(1.0)
+            elif hold > 0:
+                hold -= 1
+                gain = f32(1.0)
+            else:
+                r = f32(env / self.threshold)
+                gain = f32(r * r * r * r)
+            out[i] = f32(l * gain)
+        self.hp_state = [hx1, hx2, hy1, hy2]
+        self.lp_state = [lx1, lx2, ly1, ly2]
+        self.envelope, self.hold = env, hold
+        return out
+
+
 def reduce_signal_np(x: np.ndarray, sample_rate: float) -> np.ndarray:
     """Direct transcription of the reducer loop (ref mod.rs:408-472)."""
     f32 = np.float32
