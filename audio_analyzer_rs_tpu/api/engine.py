@@ -394,7 +394,7 @@ class AudioEngine:
     def __init__(self, input_source: Optional[InputSource] = None,
                  sample_rate: float = 48000.0, buffer_size: int = 1024,
                  loopback_latency_samples: int = 0,
-                 loopback_gain: float = 0.0):
+                 loopback_gain: float = 0.0, use_native: bool = True):
         self.sample_rate = float(sample_rate)
         self.buffer_size = int(buffer_size)
         self.device = VirtualAudioDevice(
@@ -407,6 +407,14 @@ class AudioEngine:
         self.transport.set_output_latency(buffer_size)
         self.transport.set_input_latency(buffer_size)
         self.mixer = Mixer(1)
+        # Host conditioning path: native C++ (the reference's reducer thread
+        # equivalent) when built, pure-Python fallback otherwise.
+        self.native_reducer = None
+        if use_native:
+            from .. import runtime as native_runtime
+            if native_runtime.available():
+                self.native_reducer = native_runtime.NativeReducer(
+                    sample_rate, buffer_size)
         self.reducer = HostReducer(sample_rate)
         # target -18 dBFS / max boost 100 dB / 240 s TC (ref mod.rs:341-349)
         self.dynamics = DynamicsTrackerNp(sample_rate, buffer_size)
@@ -471,12 +479,15 @@ class AudioEngine:
 
     def _input_callback(self, mono: np.ndarray) -> None:
         self.transport.tick_input(len(mono))
-        conditioned = self.reducer.process(mono)
-        d = self.dynamics.process_slot(conditioned)
+        if self.native_reducer is not None:
+            slot, d = self.native_reducer.process_slot(mono)
+        else:
+            conditioned = self.reducer.process(mono)
+            d = self.dynamics.process_slot(conditioned)
+            slot = d["slot"]
         self.dynamics_out = {k: d[k] for k in
                              ("level", "rms_db", "gain_db",
                               "session_median_db", "noise_floor_db")}
-        slot = d["slot"]
         # Onset before pitch so onset_pending reaches the tracker in-burst
         # (the reference's onset thread runs at 4x the pitch hop rate).
         ordered = sorted(self._consumers.items(),

@@ -1,0 +1,253 @@
+"""CLI simulation harness — the reference's debug REPL, offline-batch.
+
+The reference gates an interactive tester behind debug builds
+(ref src/main.rs:1-53, src/testing.rs:321-824): met / tuner / synth / player
+/ rec / onset / practice commands, with a practice runner mimicking the
+React-Native 60 Hz poll loop (count-off, measure and beat logging, metric
+pretty-print).  This CLI drives the same flows hardware-free through the
+virtual device — deterministically, from files.
+
+Usage:
+  python -m audio_analyzer_rs_tpu.cli tuner <wav>
+  python -m audio_analyzer_rs_tpu.cli onset <wav>
+  python -m audio_analyzer_rs_tpu.cli met <bpm> <seconds> <out.wav>
+  python -m audio_analyzer_rs_tpu.cli synth <midi> <out.wav> [instrument]
+  python -m audio_analyzer_rs_tpu.cli practice <midi> [wav]
+      [--mode FollowAlong|Performance|Rubato]
+      [--ability Beginner|Intermediate|Advanced|Pro] [--countoff N]
+  python -m audio_analyzer_rs_tpu.cli repl
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+from .api.device import ArraySource
+from .api.engine import AudioEngine
+from .models import generators as gen
+from .utils import wav
+from .utils.midi import load_midi_file
+
+
+def _load_mono(path: str):
+    data, sr, ch = wav.read_wav_float(path)
+    return wav.downmix_mono(data, ch), float(sr)
+
+
+def cmd_tuner(path: str) -> None:
+    audio, sr = _load_mono(path)
+    e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
+    tuner = e.start_tuner()
+    step_s = 0.25
+    total = len(audio) / sr
+    print(f"analyzing {total:.2f}s of {path} at {sr:.0f} Hz")
+    t = 0.0
+    last = ""
+    while t < total:
+        e.advance(step_s)
+        t += step_s
+        out = json.loads(tuner.poll_output())
+        line = f"{out['label']} {out['cents']:+.1f}c {out['notes']}"
+        if out["label"] and line != last:
+            print(f"  t={t:5.2f}s  {line}")
+            last = line
+    print("dynamics:", e.poll_dynamics())
+
+
+def cmd_onset(path: str) -> None:
+    audio, sr = _load_mono(path)
+    e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
+    e.transport.set_calibration_offset(1)   # offline: skip self-calibration
+    onset = e.start_onset_detection()
+    e.advance(len(audio) / sr + 0.1)
+    events = json.loads(onset.poll_onsets())
+    print(f"{len(events)} onsets detected:")
+    bps = e.transport.get_bpm() / 60.0
+    for ev in events:
+        print(f"  beat {ev['beat_position']:8.3f} "
+              f"(~{ev['beat_position'] / bps:6.3f}s) "
+              f"velocity {ev['velocity']:.2f}")
+
+
+def cmd_met(bpm: float, seconds: float, out_path: str) -> None:
+    e = AudioEngine()
+    e.create_metronome(bpm, [3, 1, 1, 1], [], 1.0, False)
+    chunks = []
+    orig = e._output_callback
+
+    def capture(buf):
+        orig(buf)
+        chunks.append(buf.copy())
+    e.device.output_callback = capture
+    e.advance(seconds)
+    audio = np.concatenate(chunks)
+    wav.write_wav(out_path, audio, int(e.sample_rate))
+    print(f"wrote {seconds}s of {bpm} BPM metronome to {out_path}")
+
+
+def cmd_synth(midi_path: str, out_path: str, instrument: str = "Piano") -> None:
+    measures = load_midi_file(midi_path, instrument)
+    total_beats = (measures[-1].global_start_beat
+                   + measures[-1].duration_beats())
+    e = AudioEngine()
+    synth = e.create_synth()
+    synth._source.send("LoadMeasures", measures)
+    synth.play(0)
+    chunks = []
+    orig = e._output_callback
+
+    def capture(buf):
+        orig(buf)
+        chunks.append(buf.copy())
+    e.device.output_callback = capture
+    bpm = measures[0].bpm
+    count_in = measures[0].duration_beats()
+    seconds = (total_beats + count_in) * 60.0 / bpm + 1.0
+    e.advance(seconds)
+    audio = np.concatenate(chunks)
+    wav.write_wav(out_path, audio, int(e.sample_rate))
+    print(f"rendered {len(measures)} measures ({seconds:.1f}s incl. count-in) "
+          f"to {out_path}")
+
+
+def render_performance(midi_path: str, instrument: str, sr: float,
+                       bpm_override: float | None = None) -> np.ndarray:
+    """Render an 'ideal student' performance as harmonic tones."""
+    measures = load_midi_file(midi_path, instrument, bpm_override)
+    bpm = measures[0].bpm
+    spb = 60.0 / bpm
+    total_beats = measures[-1].global_start_beat + measures[-1].duration_beats()
+    out = np.zeros(int((total_beats * spb + 1.0) * sr), dtype=np.float32)
+    for m in measures:
+        for n in m.notes:
+            start_beat = m.global_start_beat + n.start_beat_in_measure
+            tone = gen.tone_with_harmonics(
+                n.freq, max(n.duration_beats * spb * 0.9, 0.1), sr,
+                harmonics=6, amplitude=0.35 * max(n.velocity, 0.2))
+            s = int(start_beat * spb * sr)
+            out[s:s + len(tone)] += tone[:max(len(out) - s, 0)]
+    return out
+
+
+def cmd_practice(midi_path: str, wav_path: str | None = None,
+                 mode: str = "Performance", ability: str = "Intermediate",
+                 countoff: int = 0, instrument: str = "Piano",
+                 bpm: float = 120.0) -> None:
+    sr = 48000.0
+    if wav_path:
+        audio, sr = _load_mono(wav_path)
+        print(f"performance: {wav_path}")
+    else:
+        audio = render_performance(midi_path, instrument, sr, bpm)
+        print("performance: auto-rendered ideal student")
+
+    e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
+    e.transport.set_calibration_offset(1)
+    e.transport.set_input_latency(0)
+    e.transport.set_output_latency(0)
+    session = e.create_practice_session(midi_path, instrument, countoff,
+                                        mode, ability, bpm)
+    measures = load_midi_file(midi_path, instrument, bpm)
+    session.start(0, len(measures) - 1)
+    print(f"practice: {len(measures)} measures, mode={mode}, "
+          f"ability={ability}, countoff={countoff}")
+
+    # Mimic the RN poll loop: advance in ~16 ms steps, log measure/beat
+    # transitions and live feedback (ref testing.rs:396-520).
+    last_measure, last_beat = -1, -1
+    step = max(int(0.016 * sr) // e.buffer_size, 1) * e.buffer_size / sr
+    for _ in range(int(120.0 / step)):
+        e.advance(step)
+        snap = json.loads(session.poll_transport())
+        if snap["in_countoff"] and last_beat != int(snap["beat_position"]):
+            last_beat = int(snap["beat_position"])
+            print(f"  count-off beat {last_beat}")
+        if snap["current_measure_idx"] != last_measure:
+            last_measure = snap["current_measure_idx"]
+            print(f"  ▸ measure {last_measure}")
+        for err in json.loads(session.poll_errors()):
+            tag = err["error_type"]
+            if tag == "None":
+                print(f"    ✓ m{err['measure']}#{err['note_index']} "
+                      f"{err['received']}")
+            else:
+                print(f"    ✗ {tag}: expected {err['expected']} — "
+                      f"{err['received']}")
+        if not session.is_running():
+            break
+    print("\n── metrics " + "─" * 40)
+    metrics = json.loads(session.get_metrics())
+    if not metrics:
+        print("  (no completed measures)")
+        return
+    print(f"  accuracy        {metrics['accuracy_percent']:.1f}%  "
+          f"({metrics['num_notes_missed']} missed)")
+    print(f"  avg cents dev   {metrics['avg_cent_dev']:.1f}")
+    print(f"  onset accuracy  {metrics['note_onset_accuracy']:.3f} beats "
+          f"(skew {metrics['microtiming_skew']:+.3f})")
+    print(f"  timing σ        {metrics['timing_consistency']:.3f}")
+    print(f"  tempo stability {metrics['tempo_stability']:.2f}  "
+          f"map {['%.0f' % t for t in metrics['measure_tempo_map']]}")
+    print(f"  dynamics        acc {metrics['dynamics_accuracy']:.0f}%, "
+          f"range {metrics['dynamics_range_used']}")
+    print(f"  error measures  {metrics['error_measures']}")
+
+
+def repl() -> None:
+    print("audio_analyzer_rs_tpu CLI — commands: tuner <wav> | onset <wav> | "
+          "met <bpm> <s> <out> | synth <midi> <out> | "
+          "practice <midi> [wav] | quit")
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line or line in ("quit", "exit", "q"):
+            break
+        try:
+            main(line.split())
+        except Exception as exc:  # REPL resilience, like the reference CLI
+            print(f"error: {exc}")
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] == "repl":
+        repl()
+        return
+    cmd, args = argv[0], argv[1:]
+    kwargs = {}
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i].startswith("--"):
+            kwargs[args[i][2:]] = args[i + 1]
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    if cmd == "tuner":
+        cmd_tuner(pos[0])
+    elif cmd == "onset":
+        cmd_onset(pos[0])
+    elif cmd == "met":
+        cmd_met(float(pos[0]), float(pos[1]), pos[2])
+    elif cmd == "synth":
+        cmd_synth(pos[0], pos[1], *(pos[2:3]))
+    elif cmd == "practice":
+        cmd_practice(pos[0], pos[1] if len(pos) > 1 else None,
+                     mode=kwargs.get("mode", "Performance"),
+                     ability=kwargs.get("ability", "Intermediate"),
+                     countoff=int(kwargs.get("countoff", 0)),
+                     instrument=kwargs.get("instrument", "Piano"),
+                     bpm=float(kwargs.get("bpm", 120.0)))
+    else:
+        print(__doc__)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""ctypes bindings for the native C++ host runtime (runtime/audio_runtime.cpp).
+
+The reference runs its realtime fabric (SlotPool + SPSC rings + reducer/AGC
+thread) natively in Rust; this binds the C++ equivalent.  Builds the shared
+library on first use (g++ is in the image; no pip deps).  All entry points
+degrade gracefully: `available()` is False when the toolchain or build is
+missing and callers fall back to the pure-Python host path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libaudio_runtime.so")
+
+_lib = None
+_build_failed = False
+
+
+class DynamicsOutStruct(ctypes.Structure):
+    _fields_ = [("level", ctypes.c_int32),
+                ("rms_db", ctypes.c_float),
+                ("gain_db", ctypes.c_float),
+                ("session_median_db", ctypes.c_float),
+                ("noise_floor_db", ctypes.c_float)]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    c = ctypes
+    lib.ring_create.restype = c.c_void_p
+    lib.ring_create.argtypes = [c.c_size_t]
+    lib.ring_destroy.argtypes = [c.c_void_p]
+    lib.ring_push.restype = c.c_int
+    lib.ring_push.argtypes = [c.c_void_p, c.c_uint64]
+    lib.ring_pop.restype = c.c_int
+    lib.ring_pop.argtypes = [c.c_void_p, c.POINTER(c.c_uint64)]
+    lib.ring_len.restype = c.c_size_t
+    lib.ring_len.argtypes = [c.c_void_p]
+    lib.pool_create.restype = c.c_void_p
+    lib.pool_create.argtypes = [c.c_size_t, c.c_size_t]
+    lib.pool_destroy.argtypes = [c.c_void_p]
+    lib.pool_slot_ptr.restype = c.POINTER(c.c_float)
+    lib.pool_slot_ptr.argtypes = [c.c_void_p, c.c_size_t]
+    lib.pool_acquire.argtypes = [c.c_void_p, c.c_size_t, c.c_uint32]
+    lib.pool_release.restype = c.c_int
+    lib.pool_release.argtypes = [c.c_void_p, c.c_size_t]
+    lib.reducer_create.restype = c.c_void_p
+    lib.reducer_create.argtypes = [c.c_float, c.c_size_t]
+    lib.reducer_destroy.argtypes = [c.c_void_p]
+    lib.reducer_process.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                    c.c_size_t, c.POINTER(DynamicsOutStruct)]
+    lib.pipeline_create.restype = c.c_void_p
+    lib.pipeline_create.argtypes = [c.c_float, c.c_size_t, c.c_size_t]
+    lib.pipeline_destroy.argtypes = [c.c_void_p]
+    lib.pipeline_push_input.restype = c.c_int
+    lib.pipeline_push_input.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                        c.c_size_t]
+    lib.pipeline_pull_slot.restype = c.c_int
+    lib.pipeline_pull_slot.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                       c.POINTER(DynamicsOutStruct)]
+    lib.pipeline_pending.restype = c.c_size_t
+    lib.pipeline_pending.argtypes = [c.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeReducer:
+    """Streaming conditioning + AGC in C++ (drop-in for HostReducer+AGC)."""
+
+    def __init__(self, sample_rate: float, slot_len: int = 1024):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._ptr = lib.reducer_create(ctypes.c_float(sample_rate),
+                                       ctypes.c_size_t(slot_len))
+        self.slot_len = slot_len
+
+    def process_slot(self, slot: np.ndarray) -> Tuple[np.ndarray, dict]:
+        """Condition + AGC one slot; returns (conditioned, dynamics dict)."""
+        buf = np.ascontiguousarray(slot, dtype=np.float32).copy()
+        dyn = DynamicsOutStruct()
+        self._lib.reducer_process(
+            self._ptr, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_size_t(len(buf)), ctypes.byref(dyn))
+        return buf, {"level": int(dyn.level), "rms_db": float(dyn.rms_db),
+                     "gain_db": float(dyn.gain_db),
+                     "session_median_db": float(dyn.session_median_db),
+                     "noise_floor_db": float(dyn.noise_floor_db),
+                     "slot": buf}
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.reducer_destroy(self._ptr)
+            self._ptr = None
+
+
+class NativePipeline:
+    """Threaded native pipeline: input ring → reducer thread → consumer ring
+    (the reference's thread topology, ref mod.rs:336-511)."""
+
+    def __init__(self, sample_rate: float, pool_size: int = 1024,
+                 slot_len: int = 1024):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._ptr = lib.pipeline_create(ctypes.c_float(sample_rate),
+                                        ctypes.c_size_t(pool_size),
+                                        ctypes.c_size_t(slot_len))
+        self.slot_len = slot_len
+
+    def push(self, slot: np.ndarray) -> bool:
+        buf = np.ascontiguousarray(slot, dtype=np.float32)
+        return bool(self._lib.pipeline_push_input(
+            self._ptr, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_size_t(len(buf))))
+
+    def pull(self) -> Optional[Tuple[np.ndarray, dict]]:
+        out = np.empty(self.slot_len, dtype=np.float32)
+        dyn = DynamicsOutStruct()
+        ok = self._lib.pipeline_pull_slot(
+            self._ptr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(dyn))
+        if not ok:
+            return None
+        return out, {"level": int(dyn.level), "rms_db": float(dyn.rms_db),
+                     "gain_db": float(dyn.gain_db),
+                     "session_median_db": float(dyn.session_median_db),
+                     "noise_floor_db": float(dyn.noise_floor_db)}
+
+    def pending(self) -> int:
+        return int(self._lib.pipeline_pending(self._ptr))
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.pipeline_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
