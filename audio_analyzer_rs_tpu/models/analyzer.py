@@ -33,12 +33,15 @@ class PitchChunkOut(NamedTuple):
     stable_scores: jax.Array  # [N, 8]
     stable_valid: jax.Array  # [N, 8]
     mags: jax.Array          # [N, H]
+    eff_floor: jax.Array     # [N, H] (zeros unless return_floor)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
+@partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend",
+                                   "return_floor"))
 def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
                          sample_rate: float, window: int = PITCH_WINDOW,
-                         hop: int = PITCH_HOP, backend: str = "dft"):
+                         hop: int = PITCH_HOP, backend: str = "dft",
+                         return_floor: bool = False):
     """Pre-framed audio [N, window] → pitch pipeline outputs + new states."""
     mags = windowed_mags(frames, window, backend=backend)
     nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags, global_floor)
@@ -46,8 +49,9 @@ def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
     pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width)
     tr_state, (sf, ss, sv) = tracker.tracker_scan(
         tr_state, pf.freqs, pf.scores, pf.valid, onsets)
+    floor_out = eff_floor if return_floor else jnp.zeros((0, 0), jnp.float32)
     return nf_state, tr_state, PitchChunkOut(pf.freqs, pf.scores, pf.valid,
-                                             sf, ss, sv, mags)
+                                             sf, ss, sv, mags, floor_out)
 
 
 @dataclass
@@ -61,6 +65,7 @@ class PitchAnalyzer:
     window: int = PITCH_WINDOW
     hop: int = PITCH_HOP
     backend: str = "dft"
+    debug_recorder: object = None    # devtools.DebugRecorder (optional)
     _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
     def __post_init__(self):
@@ -103,9 +108,19 @@ class PitchAnalyzer:
         self.nf_state, self.tr_state, out = pitch_analyze_frames(
             self.nf_state, self.tr_state, jnp.asarray(frames), jnp.asarray(gf),
             jnp.asarray(onsets), self.sample_rate, self.window, self.hop,
-            self.backend)
+            self.backend, return_floor=self.debug_recorder is not None)
+        out = jax.tree.map(np.asarray, out)
+        if self.debug_recorder is not None:
+            bin_width = self.sample_rate / self.window
+            for i in range(n):
+                stable = [(float(f), float(s)) for f, s, v in
+                          zip(out.stable_freqs[i], out.stable_scores[i],
+                              out.stable_valid[i]) if v]
+                self.debug_recorder.log_pitch_frame(
+                    self.frames_consumed + i, out.mags[i], out.eff_floor[i],
+                    bin_width, stable)
         self.frames_consumed += n
-        return jax.tree.map(np.asarray, out)
+        return out
 
 
 class OnsetChunkOut(NamedTuple):

@@ -39,7 +39,14 @@ def stft_mags(x: jax.Array, window: int = PITCH_WINDOW, hop: int = PITCH_HOP,
 @partial(jax.jit, static_argnames=("window", "backend"))
 def windowed_mags(frames: jax.Array, window: int = PITCH_WINDOW,
                   backend: str = "dft") -> jax.Array:
-    """[N, window] pre-framed audio → [N, window//2+1] magnitudes."""
+    """[N, window] pre-framed audio → [N, window//2+1] magnitudes.
+
+    backend: "dft" (MXU matmul via XLA), "fft" (jnp.fft), or "pallas"
+    (fused VMEM-resident kernel, ops/pallas_stft.py; TPU only).
+    """
+    if backend == "pallas":
+        from .pallas_stft import windowed_mags_pallas
+        return windowed_mags_pallas(frames, window)
     win = jnp.asarray(hann_window(window))
     return rfft_mag(frames * win[None, :], backend=backend)
 
