@@ -21,3 +21,24 @@ Layer map (mirrors SURVEY.md §1/§7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy re-exports of the public surface (avoid importing jax at package
+    # import for light-weight consumers like the theory/MIDI helpers).
+    if name == "AudioEngine":
+        from .api.engine import AudioEngine
+        return AudioEngine
+    if name == "analyze_buffer":
+        from .analysis import analyze_buffer
+        return analyze_buffer
+    if name == "PitchAnalyzer":
+        from .models.analyzer import PitchAnalyzer
+        return PitchAnalyzer
+    if name == "OnsetAnalyzer":
+        from .models.analyzer import OnsetAnalyzer
+        return OnsetAnalyzer
+    if name == "MusicalTransport":
+        from .transport import MusicalTransport
+        return MusicalTransport
+    raise AttributeError(name)

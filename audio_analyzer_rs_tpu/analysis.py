@@ -1,0 +1,98 @@
+"""One-call buffer analysis: audio in → per-frame feature structs out.
+
+The BASELINE mandates the public analyze-buffer API: a mono buffer goes in,
+per-frame feature structs come out (spectrogram, RMS/energy, centroid,
+rolloff, flux, polyphonic pitches, stable pitches, onsets, YIN f0).  This is
+the batch/offline face of the same kernels the streaming engine uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.analyzer import OnsetAnalyzer, PitchAnalyzer
+from .ops.features import feature_pack
+from .ops.stft import ONSET_HOP, ONSET_WINDOW, PITCH_HOP, PITCH_WINDOW
+from .ops.yin import yin_pitch
+from .ops.fft import hann_window
+from .ops.stft import windowed_mags
+from .utils.framing import frame_signal, num_frames
+
+
+@dataclass
+class FrameFeatures:
+    """Per-frame feature struct (one pitch-geometry frame)."""
+    time_s: float
+    rms: float
+    energy: float
+    centroid_hz: float
+    rolloff_hz: float
+    flux: float
+    yin_f0_hz: float
+    yin_voiced: bool
+    pitches: List[tuple]          # raw (freq, score) up to 8
+    stable_pitches: List[tuple]   # hysteresis-stable (freq, score)
+
+
+@dataclass
+class AnalysisResult:
+    sample_rate: float
+    frames: List[FrameFeatures]
+    spectrogram: np.ndarray       # [N, 1025] magnitudes
+    onsets: List[dict]            # {"time_s", "frame", "velocity"}
+
+    def to_dicts(self) -> List[dict]:
+        return [vars(f) for f in self.frames]
+
+
+def analyze_buffer(audio: np.ndarray, sample_rate: float,
+                   backend: str = "dft",
+                   global_floor_db: float = -96.0) -> AnalysisResult:
+    """Analyze a mono float32 buffer with the full TPU pipeline."""
+    audio = np.asarray(audio, dtype=np.float32)
+    pa = PitchAnalyzer(sample_rate, backend=backend)
+    out = pa.process(audio, global_floor_db=global_floor_db)
+    n = 0 if out is None else len(out.mags)
+
+    oa = OnsetAnalyzer(sample_rate, backend=backend)
+    oout = oa.process(audio, global_floor_db=global_floor_db)
+
+    onsets: List[dict] = []
+    if oout is not None:
+        for i in np.nonzero(oout.fired)[0]:
+            center = int(i) * ONSET_HOP + ONSET_WINDOW // 2
+            onsets.append({"time_s": center / sample_rate, "frame": int(i),
+                           "velocity": float(oout.velocity[i])})
+
+    frames: List[FrameFeatures] = []
+    if n:
+        f = np.asarray(frame_signal(jnp.asarray(audio), PITCH_WINDOW, PITCH_HOP))
+        feats = jax.tree.map(np.asarray, feature_pack(
+            jnp.asarray(f), jnp.asarray(out.mags), sample_rate, PITCH_WINDOW))
+        yin = jax.tree.map(np.asarray, yin_pitch(jnp.asarray(f), sample_rate))
+        for i in range(n):
+            frames.append(FrameFeatures(
+                time_s=(i * PITCH_HOP + PITCH_WINDOW / 2) / sample_rate,
+                rms=float(feats.rms[i]),
+                energy=float(feats.energy[i]),
+                centroid_hz=float(feats.centroid_hz[i]),
+                rolloff_hz=float(feats.rolloff_hz[i]),
+                flux=float(feats.flux[i]),
+                yin_f0_hz=float(yin.f0_hz[i]),
+                yin_voiced=bool(yin.voiced[i]),
+                pitches=[(float(a), float(b)) for a, b, v in
+                         zip(out.raw_freqs[i], out.raw_scores[i],
+                             out.raw_valid[i]) if v],
+                stable_pitches=[(float(a), float(b)) for a, b, v in
+                                zip(out.stable_freqs[i], out.stable_scores[i],
+                                    out.stable_valid[i]) if v],
+            ))
+    spectrogram = out.mags if n else np.zeros((0, PITCH_WINDOW // 2 + 1),
+                                              np.float32)
+    return AnalysisResult(sample_rate=sample_rate, frames=frames,
+                          spectrogram=spectrogram, onsets=onsets)

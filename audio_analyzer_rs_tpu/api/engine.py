@@ -38,9 +38,12 @@ from ..ops.reducer import HostReducer
 from ..ops.stft import PITCH_HOP, PITCH_WINDOW
 from ..practice.session import PracticeSession as PracticeCore
 from ..practice.types import practice_mode_from_str
+from ..tracing import get_logger
 from ..transport import MusicalTransport, OnsetEvent
 from ..utils.wav import quantize_i16
 from .device import InputSource, VirtualAudioDevice
+
+_log = get_logger("engine")
 
 
 class AudioEngineError(Exception):
@@ -365,6 +368,8 @@ class _OnsetConsumer:
         if not self.calibration_done:
             elapsed = t.get_output_frames() - self.calibration_start_frame
             if elapsed > self.calibration_timeout:
+                _log.warning("onset calibration timed out after %d samples "
+                             "— using offset 0", elapsed)
                 t.set_calibration_offset(0)
                 self.calibration_done = True
         for i in range(n):
@@ -376,10 +381,18 @@ class _OnsetConsumer:
             if not self.calibration_done:
                 target = e.calibration_target
                 if target == 0:
-                    continue  # pre-calibration noise
+                    _log.debug("pre-calibration onset ignored (target not set)")
+                    continue
                 residual = event.output_samples - target
                 if residual < 0 or residual > int(e.sample_rate * 0.5):
-                    continue  # implausible — retry
+                    _log.warning(
+                        "onset calibration: rejected implausible residual "
+                        "(%.1fms) — retrying",
+                        residual * 1000.0 / e.sample_rate)
+                    continue
+                _log.info("onset calibration: residual=%.1fms (%d samples) "
+                          "at target frame %d",
+                          residual * 1000.0 / e.sample_rate, residual, target)
                 t.set_calibration_offset(int(residual))
                 self.calibration_done = True
                 e.onset_pending = False
@@ -423,6 +436,8 @@ class AudioEngine:
                              "noise_floor_db": -96.0}
         self.onset_pending = False
         self.calibration_target = 0
+        self.input_error = False
+        self.output_error = False
         self._consumers: dict = {}
         self._available_handles = list(range(255, -1, -1))
         self.active_tuner: Optional[Tuner] = None
@@ -436,12 +451,31 @@ class AudioEngine:
         self.device.input_callback = self._input_callback
         self.device.output_callback = self._output_callback
 
-    # ── stream control (ref mod.rs:561-655) ─────────────────────────────
+    # ── stream control + failure recovery (ref mod.rs:561-655) ──────────
 
     def start_input(self) -> None:
+        if self.input_error:
+            # Async stream error detected: tear down, rebuild the input
+            # infrastructure, reset calibration, retry (ref mod.rs:585-622).
+            _log.warning("detected async input error — restarting input")
+            self.stop_input()
+            self.reducer = HostReducer(self.sample_rate)
+            self.dynamics = DynamicsTrackerNp(self.sample_rate,
+                                              self.buffer_size)
+            if self.native_reducer is not None:
+                from .. import runtime as native_runtime
+                self.native_reducer = native_runtime.NativeReducer(
+                    self.sample_rate, self.buffer_size)
+            self.transport.reset_calibration()
+            self.input_error = False
         self.device.input_running = True
 
     def start_output(self) -> None:
+        if self.output_error:
+            _log.warning("detected async output error — restarting output")
+            self.stop_output()
+            self.transport.reset_calibration()
+            self.output_error = False
         self.device.output_running = True
         self.transport.play()
 
@@ -451,6 +485,16 @@ class AudioEngine:
     def stop_output(self) -> None:
         self.transport.stop()
         self.device.output_running = False
+
+    def inject_input_error(self) -> None:
+        """Fault injection for tests (the cpal error callback analog,
+        ref mod.rs:673-676)."""
+        self.input_error = True
+        self.stop_input()
+
+    def inject_output_error(self) -> None:
+        self.output_error = True
+        self.stop_output()
 
     def clean_input(self) -> None:
         if not self._consumers:

@@ -14,8 +14,11 @@ import os
 # which still wins as long as no computation has run yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: the big scan/vmap pipelines take tens of
-# seconds to compile; cache across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+# seconds to compile; cache across test runs (in-repo so it survives /tmp).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")

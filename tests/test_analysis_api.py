@@ -1,0 +1,37 @@
+"""Top-level analyze_buffer API (BASELINE: analyze-buffer → feature structs)."""
+
+import numpy as np
+
+import audio_analyzer_rs_tpu as aat
+from audio_analyzer_rs_tpu.models import generators as gen
+
+SR = 44100.0
+
+
+def test_analyze_buffer_full_struct():
+    x = gen.tone_with_harmonics(220.0, 1.0, SR, harmonics=8, amplitude=0.4)
+    click = gen.calibration_click(SR, volume=0.6)
+    x[int(0.5 * SR):int(0.5 * SR) + len(click)] += click
+    res = aat.analyze_buffer(x, SR)
+    assert res.spectrogram.shape[1] == 1025
+    assert len(res.frames) == res.spectrogram.shape[0]
+    f = res.frames[len(res.frames) // 4]
+    assert f.rms > 0.01
+    assert 0 < f.centroid_hz < SR / 2
+    assert f.yin_voiced and abs(f.yin_f0_hz - 220.0) < 5.0
+    assert any(abs(p - 220.0) < 5.0 for p, _ in f.stable_pitches)
+    # The click produced at least one onset near 0.5 s.
+    assert any(abs(o["time_s"] - 0.5) < 0.05 for o in res.onsets), res.onsets
+    d = res.to_dicts()
+    assert isinstance(d[0]["stable_pitches"], list)
+
+
+def test_analyze_buffer_short_audio():
+    res = aat.analyze_buffer(np.zeros(100, np.float32), SR)
+    assert res.frames == [] and len(res.onsets) == 0
+
+
+def test_package_exports():
+    assert aat.AudioEngine is not None
+    assert aat.PitchAnalyzer is not None
+    assert aat.MusicalTransport is not None

@@ -59,6 +59,33 @@ def test_sharded_matches_single_device():
                                float(out1.global_noise_floor_db), rtol=1e-5)
 
 
+def test_batched_streams_detect_their_own_tones():
+    """BASELINE config #5: many independent streams per step — each shard
+    analyzes its own stream; detected pitches stay per-stream."""
+    from audio_analyzer_rs_tpu.models import generators as gen
+    sr = 48000.0
+    tones = [220.0, 261.63, 329.63, 392.0, 440.0, 523.25, 587.33, 659.26]
+    batch = len(tones)
+    chunk = 6 * 1024   # enough pitch frames for the tracker to stabilize
+    audio = np.stack([
+        gen.tone_with_harmonics(f, chunk / sr, sr, harmonics=6,
+                                amplitude=0.3)[:chunk]
+        for f in tones])
+    mesh = make_mesh()
+    step = make_batched_full_step(mesh, sr)
+    states = init_stream_states(batch)
+    sh = batch_sharding(mesh)
+    states = jax.device_put(states, jax.tree.map(lambda _: sh, states))
+    # Two steps so AGC/noise-floor warm up and the tracker stabilizes.
+    states, out = step(states, jax.device_put(audio, sh))
+    states, out = step(states, jax.device_put(audio, sh))
+    sf = np.asarray(out.stable_freqs)   # [B, Np, 8]
+    sv = np.asarray(out.stable_valid)
+    for b, f in enumerate(tones):
+        got = sf[b, -1][sv[b, -1]]
+        assert any(abs(g - f) / f < 0.02 for g in got), (b, f, got)
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as g
     fn, args = g.entry()
