@@ -13,14 +13,6 @@ import os
 # tunneled compiles) and for the 8-device virtual mesh — via jax.config,
 # which still wins as long as no computation has run yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compilation cache: the big scan/vmap pipelines take tens of
-# seconds to compile; cache across test runs (in-repo so it survives /tmp).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -30,6 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the big scan/vmap pipelines take tens of
+# seconds to compile; cache across test runs (in-repo so it survives /tmp
+# cleanup).  Must be set through jax.config — the sitecustomize pre-import
+# already materialized JAX_* env vars, so env settings are ignored.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
