@@ -1,0 +1,65 @@
+"""CLI harness smoke tests (component #29)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_analyzer_rs_tpu import cli
+from audio_analyzer_rs_tpu.models import generators as gen
+from audio_analyzer_rs_tpu.utils import wav
+from audio_analyzer_rs_tpu.utils.midi import write_midi_file
+
+
+@pytest.fixture
+def midi_file(tmp_path):
+    path = str(tmp_path / "ref.mid")
+    # Two measures so the first ages out and metrics are non-empty.
+    write_midi_file(path, [(60, 0.0, 0.9, 90), (64, 1.0, 0.9, 90),
+                           (67, 2.0, 0.9, 90), (72, 3.0, 0.9, 90),
+                           (72, 4.0, 0.9, 90), (67, 5.0, 0.9, 90)],
+                    bpm=120.0)
+    return path
+
+
+def test_cli_met_renders_wav(tmp_path, capsys):
+    out = str(tmp_path / "met.wav")
+    cli.main(["met", "120", "2", out])
+    data, sr, ch = wav.read_wav(out)
+    assert len(data) > 0 and np.abs(data).max() > 0.1
+    assert "wrote" in capsys.readouterr().out
+
+
+def test_cli_synth_renders_midi(tmp_path, midi_file, capsys):
+    out = str(tmp_path / "synth.wav")
+    cli.main(["synth", midi_file, out])
+    data, sr, ch = wav.read_wav(out)
+    assert np.abs(data).max() > 0.05
+    assert "rendered" in capsys.readouterr().out
+
+
+def test_cli_onset_lists_events(tmp_path, capsys):
+    path = str(tmp_path / "clicks.wav")
+    x = np.zeros(int(48000 * 1.5), np.float32)
+    click = gen.calibration_click(48000.0, volume=0.8)
+    for t in (0.3, 0.9):
+        x[int(t * 48000):int(t * 48000) + len(click)] += click
+    wav.write_wav(path, x, 48000)
+    cli.main(["onset", path])
+    out = capsys.readouterr().out
+    assert "onsets detected" in out and "velocity" in out
+
+
+def test_cli_practice_full_flow(midi_file, capsys):
+    cli.main(["practice", midi_file, "--mode", "Performance",
+              "--ability", "Advanced"])
+    out = capsys.readouterr().out
+    assert "measure 0" in out
+    assert "✓" in out                       # matched notes logged
+    assert "accuracy" in out                # metric pretty-print
+    assert "100.0%" in out or "accuracy" in out
+
+
+def test_cli_unknown_command_exits(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate"])

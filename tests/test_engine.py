@@ -277,3 +277,35 @@ def test_practice_session_end_to_end(tmp_path):
     assert t["practice_end"] == 1
     errors = json.loads(session.poll_errors())
     assert isinstance(errors, list)
+
+
+@pytest.mark.slow
+def test_practice_followalong_stops_for_unplayed_notes(tmp_path):
+    """FollowAlong clock behavior end-to-end: the player goes silent after
+    the first note, so the transport must STOP before the next unplayed note
+    (ref clock.rs:116-130) instead of running ahead."""
+    midi_path = str(tmp_path / "fa.mid")
+    notes = [(60, 0.0, 0.9, 90), (64, 1.0, 0.9, 90), (67, 2.0, 0.9, 90),
+             (72, 3.0, 0.9, 90)]
+    write_midi_file(midi_path, notes, bpm=120.0)
+
+    # Performance: only the first note, then silence.
+    perf = np.zeros(int(SR * 4.0), dtype=np.float32)
+    tone = gen.tone_with_harmonics(261.63, 0.45, SR, harmonics=6,
+                                   amplitude=0.35)
+    perf[:len(tone)] += tone
+
+    e = AudioEngine(input_source=ArraySource(perf))
+    e.transport.set_calibration_offset(1)
+    e.transport.set_input_latency(0)
+    e.transport.set_output_latency(0)
+    session = e.create_practice_session(midi_path, "Piano", 0,
+                                        "FollowAlong", "Advanced", 120.0)
+    session.start(0, 0)
+    e.advance(3.5)
+    snap = json.loads(session.poll_transport())
+    # Transport stopped just before beat 2 (the unplayed second note's
+    # successor) rather than running through the piece.
+    assert snap["is_playing"] is False
+    assert snap["beat_position"] < 2.1, snap["beat_position"]
+    assert session.is_running()   # session waits for the player
