@@ -1,0 +1,70 @@
+"""Segment-parallel analysis: coverage, ordering, and agreement with the
+exact sequential run."""
+
+import numpy as np
+
+from audio_analyzer_rs_tpu.models import generators as gen
+from audio_analyzer_rs_tpu.models.analyzer import PitchAnalyzer
+from audio_analyzer_rs_tpu.models.segmented import segmented_pitch_analysis
+from audio_analyzer_rs_tpu.utils.framing import num_frames
+
+SR = 44100.0
+
+
+def melody(duration_s: float) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(int(SR * duration_s)) * 1e-4).astype(np.float32)
+    note_len = 0.5
+    freqs = [220.0, 246.94, 261.63, 293.66, 329.63, 349.23, 392.0, 440.0]
+    t = 0.0
+    i = 0
+    while t + note_len < duration_s:
+        tone = gen.tone_with_harmonics(freqs[i % len(freqs)], note_len * 0.9,
+                                       SR, harmonics=6, amplitude=0.35)
+        s = int(t * SR)
+        x[s:s + len(tone)] += tone
+        t += note_len
+        i += 1
+    return x
+
+
+def test_segmented_matches_sequential():
+    x = melody(30.0)
+    n = num_frames(len(x), 2048, 512)
+    sf, ss, sv = segmented_pitch_analysis(x, SR, segments=4,
+                                          warmup_frames=128,
+                                          chunk_frames=256)
+    assert sf.shape == (n, 8)
+
+    seq = PitchAnalyzer(SR)
+    out = seq.process(x)
+    assert len(out.stable_freqs) == n
+
+    # Frame-level agreement: a frame agrees when its sets of stable pitch
+    # frequencies match to 0.1 Hz.
+    agree = 0
+    for i in range(n):
+        a = sorted(np.round(sf[i][sv[i]], 1))
+        b = sorted(np.round(out.stable_freqs[i][out.stable_valid[i]], 1))
+        agree += a == b
+    assert agree / n > 0.99, f"only {agree}/{n} frames agree"
+
+    # Segment 0 starts from the fresh state → bit-identical prefix.
+    first_seg = min(n, 128 + 256)
+    np.testing.assert_array_equal(sf[:first_seg],
+                                  out.stable_freqs[:first_seg])
+
+
+def test_segmented_short_audio_single_segment():
+    x = melody(3.0)
+    n = num_frames(len(x), 2048, 512)
+    sf, ss, sv = segmented_pitch_analysis(x, SR, segments=16,
+                                          chunk_frames=256)
+    assert sf.shape == (n, 8)
+    seq = PitchAnalyzer(SR).process(x)
+    np.testing.assert_array_equal(sf, seq.stable_freqs)
+
+
+def test_segmented_empty():
+    sf, ss, sv = segmented_pitch_analysis(np.zeros(100, np.float32), SR)
+    assert sf.shape == (0, 8)
