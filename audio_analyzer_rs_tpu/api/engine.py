@@ -291,13 +291,24 @@ class PracticeSession:
 # ── Pitch / onset consumers (the reference's worker threads) ─────────────
 
 class _PitchConsumer:
-    """STFT pitch worker + tuner (ref stft.rs:155-441, tuner.rs:129-211)."""
+    """STFT pitch worker + tuner (ref stft.rs:155-441, tuner.rs:129-211).
+
+    Tuner outputs are produced per analysis frame (~11.6 ms) but consumed by
+    polling; frames computed in one burst are queued and released one per
+    practice tick so the 10 ms poll loop sees (nearly) every frame, exactly
+    like the reference's RwLock updated by the free-running tuner thread."""
 
     def __init__(self, engine: "AudioEngine"):
         self.engine = engine
         self.analyzer = PitchAnalyzer(engine.sample_rate)
         self.tuner_core = TunerCore()
+        self.pending_outputs: List = []
         self.state = 1
+
+    def release_output(self) -> None:
+        """Publish the next queued per-frame TunerOutput (time passing)."""
+        if self.pending_outputs:
+            self.tuner_core.output = self.pending_outputs.pop(0)
 
     def consume(self, slot: np.ndarray) -> None:
         if self.state != 1:
@@ -328,6 +339,10 @@ class _PitchConsumer:
             if pitches:
                 beat = now_beat - (total_in - frame_end[i]) * beats_per_sample
                 self.tuner_core.process(pitches, beat)
+                self.pending_outputs.append(self.tuner_core.output)
+        # Keep at most one burst queued (stale frames age out like the
+        # reference's overwritten RwLock).
+        self.pending_outputs = self.pending_outputs[-4:]
 
 
 class _OnsetConsumer:
@@ -505,13 +520,28 @@ class AudioEngine:
             self.stop_output()
 
     def advance(self, seconds: float) -> None:
-        """Run virtual time forward (offline deterministic mode)."""
+        """Run virtual time forward (offline deterministic mode).
+
+        The practice loop ticks at ~10 ms (ref practice/mod.rs:558); one
+        1024-sample buffer is ~21 ms, so each device step runs two practice
+        ticks, releasing one queued per-frame tuner output before each —
+        the virtual twin of the reference's free-running poll loop."""
         n = int(round(seconds * self.sample_rate)) // self.buffer_size
+        ticks_per_buffer = max(
+            int(round(self.buffer_size / self.sample_rate / 0.010)), 1)
         for _ in range(n):
             self.device.step()
             ps = self.active_practice_session
             if ps is not None and ps.is_running():
-                ps.tick()
+                tuner = self.active_tuner
+                for _t in range(ticks_per_buffer):
+                    if tuner is not None:
+                        consumer = self._consumers.get(
+                            getattr(tuner, "_handle", -1))
+                        if isinstance(consumer, _PitchConsumer):
+                            consumer.release_output()
+                    if not ps.tick():
+                        break
 
     # ── callbacks ────────────────────────────────────────────────────────
 
