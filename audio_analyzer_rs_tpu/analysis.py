@@ -9,7 +9,7 @@ the batch/offline face of the same kernels the streaming engine uses.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -19,9 +19,7 @@ from .models.analyzer import OnsetAnalyzer, PitchAnalyzer
 from .ops.features import feature_pack
 from .ops.stft import ONSET_HOP, ONSET_WINDOW, PITCH_HOP, PITCH_WINDOW
 from .ops.yin import yin_pitch
-from .ops.fft import hann_window
-from .ops.stft import windowed_mags
-from .utils.framing import frame_signal, num_frames
+from .utils.framing import frame_signal
 
 
 @dataclass

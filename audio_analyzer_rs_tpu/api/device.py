@@ -16,7 +16,7 @@ output/input callbacks (ref mod.rs:721-938).
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import numpy as np
 

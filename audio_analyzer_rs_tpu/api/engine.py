@@ -21,7 +21,7 @@ import json
 import threading
 import time
 import wave as wave_mod
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -29,7 +29,7 @@ from ..models.analyzer import OnsetAnalyzer, PitchAnalyzer
 from ..models.calibration import CalibrationClick
 from ..models.metronome import Metronome as MetronomeSource
 from ..models.player import AudioPlayer, PlayerController
-from ..models.sources import Mixer, OutputController
+from ..models.sources import Mixer
 from ..models.synth import Synthesizer, instrument_from
 from ..models.tuner import Tuner as TunerCore
 from ..ops.dynamics import DynamicsTrackerNp, LEVEL_NAMES
@@ -518,6 +518,20 @@ class AudioEngine:
     def clean_output(self) -> None:
         if not self.mixer.has_sources():
             self.stop_output()
+
+    def run_realtime(self, seconds: float) -> None:
+        """Run the device in wall-clock time (the realtime simulation mode):
+        one buffer per buffer-period, like the reference's audio callbacks."""
+        import time as _time
+        n = int(round(seconds * self.sample_rate)) // self.buffer_size
+        period = self.buffer_size / self.sample_rate
+        next_t = _time.monotonic()
+        for _ in range(n):
+            self.advance(period)
+            next_t += period
+            sleep = next_t - _time.monotonic()
+            if sleep > 0:
+                _time.sleep(sleep)
 
     def advance(self, seconds: float) -> None:
         """Run virtual time forward (offline deterministic mode).

@@ -15,12 +15,11 @@ from __future__ import annotations
 
 import json
 from collections import deque
-from dataclasses import asdict, dataclass, field
-from typing import List, Optional
+from dataclasses import asdict, dataclass
+from typing import List
 
 import numpy as np
 
-from .theory import Note
 
 
 def freq_to_note_label(freq: float) -> str:

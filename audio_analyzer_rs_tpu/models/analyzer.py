@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import noisefloor, onset as onset_ops, pitch as pitch_ops, tracker
-from ..ops.fft import hann_window
 from ..ops.stft import PITCH_HOP, PITCH_WINDOW, ONSET_HOP, ONSET_WINDOW, windowed_mags
 from ..utils.framing import frame_signal, num_frames
 

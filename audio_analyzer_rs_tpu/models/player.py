@@ -9,7 +9,7 @@ vectorized gather per buffer instead of a per-sample loop.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -17,7 +17,6 @@ Envelopes are piecewise-linear segments computed analytically per buffer.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -9,7 +9,6 @@ is one device program.  Constants are the reference's exactly
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

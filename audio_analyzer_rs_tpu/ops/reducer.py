@@ -17,7 +17,6 @@ engine (the reference runs this on a dedicated CPU thread too).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

@@ -23,7 +23,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import dynamics, noisefloor, onset as onset_ops, pitch as pitch_ops
 from ..ops import reducer, tracker
-from ..ops.fft import hann_window
 from ..ops.stft import ONSET_WINDOW, PITCH_WINDOW, windowed_mags
 from ..utils.framing import frame_signal
 from .mesh import DATA_AXIS

@@ -8,7 +8,7 @@ skeletons, velocity→dynamic 8-step mapping.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..theory import freq_to_midi

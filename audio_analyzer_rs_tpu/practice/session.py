@@ -22,13 +22,13 @@ from typing import List, Optional
 from ..theory import note_name_to_midi
 from ..transport import MusicalTransport
 from ..utils.midi import Measure, load_midi_file
-from . import SendInfo, ability_tolerance_scale
+from . import SendInfo
 from .buffer import MeasureBuffer
 from .clock import ClockConfig, ClockManager
 from .conditioner import InputConditioner
 from .metrics import MeasureData, compute_metrics
 from .mode import ModeController, TickInputs
-from .types import TunerFrame, practice_mode_from_str
+from .types import TunerFrame
 
 
 class PracticeSession:
