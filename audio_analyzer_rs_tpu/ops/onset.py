@@ -137,7 +137,8 @@ def onset_scan(state: OnsetState, mags: jax.Array, global_floor: jax.Array,
     def body(s, inp):
         m, g, t = inp
         return _step(s, m, g, t)
-    return jax.lax.scan(body, state, (mags, global_floor, tick_suppressed))
+    return jax.lax.scan(body, state, (mags, global_floor, tick_suppressed),
+                        unroll=8)
 
 
 # ── NumPy oracle (loop transcription, float32) ───────────────────────────
