@@ -355,9 +355,15 @@ class _OnsetConsumer:
         self.calibration_done = engine.transport.is_calibrated()
         self.calibration_start_frame = engine.transport.get_output_frames()
         self.calibration_timeout = int(engine.sample_rate) * 2
+        # Samples dropped while paused: frame positions derived from the
+        # analyzer's frame counter must be shifted by this to stay aligned
+        # with the transport's input_frames (the reference stamps relative
+        # to its live ring, so pause/resume never skews its timestamps).
+        self.dropped_samples = 0
 
     def consume(self, slot: np.ndarray) -> None:
         if self.detection.state != 1:
+            self.dropped_samples += len(slot)
             return
         e = self.engine
         t = e.transport
@@ -369,13 +375,15 @@ class _OnsetConsumer:
         guard_beats = TICK_GUARD_S * t.get_bpm() / 60.0
         tick_sup = np.zeros(max(n_expected, 0), dtype=bool)
         for i in range(max(n_expected, 0)):
-            center = (base + i) * ONSET_HOP + ONSET_WINDOW // 2
+            center = ((base + i) * ONSET_HOP + ONSET_WINDOW // 2
+                      + self.dropped_samples)
             ev = t.stamp_onset(center - t.get_input_frames(), 0.0)
             tick_sup[i] = (t.nearest_tick_distance_beats(ev.beat_position)
                            < guard_beats)
         out = self.analyzer.process(
             slot, global_floor_db=e.dynamics_out["noise_floor_db"],
-            tick_suppressed=tick_sup)
+            tick_suppressed=tick_sup,
+            calibration_hold=not self.calibration_done)
         if out is None:
             return
         n = len(out.fired)
@@ -390,7 +398,8 @@ class _OnsetConsumer:
         for i in range(n):
             if not out.fired[i]:
                 continue
-            center = (base + i) * ONSET_HOP + ONSET_WINDOW // 2
+            center = ((base + i) * ONSET_HOP + ONSET_WINDOW // 2
+                      + self.dropped_samples)
             offset = center - t.get_input_frames()
             event = t.stamp_onset(int(offset), float(out.velocity[i]))
             if not self.calibration_done:
@@ -411,6 +420,11 @@ class _OnsetConsumer:
                 t.set_calibration_offset(int(residual))
                 self.calibration_done = True
                 e.onset_pending = False
+                # The accepted event resets the refractory counter (the scan
+                # held it during calibration; ref onset.rs:535-537).
+                import jax.numpy as _jnp
+                self.analyzer.state = self.analyzer.state._replace(
+                    frames_since_onset=_jnp.asarray(0, _jnp.int32))
             else:
                 self.detection._push(event)
                 e.onset_pending = True

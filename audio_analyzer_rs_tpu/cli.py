@@ -41,9 +41,10 @@ def cmd_tuner(path: str) -> None:
     audio, sr = _load_mono(path)
     e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
     tuner = e.start_tuner()
-    step_s = 0.25
-    total = len(audio) / sr
-    print(f"analyzing {total:.2f}s of {path} at {sr:.0f} Hz")
+    # Round the step to whole device buffers so no audio tail is dropped.
+    step_s = max(round(0.25 * sr / e.buffer_size), 1) * e.buffer_size / sr
+    total = len(audio) / sr + step_s
+    print(f"analyzing {len(audio) / sr:.2f}s of {path} at {sr:.0f} Hz")
     t = 0.0
     last = ""
     while t < total:

@@ -132,9 +132,11 @@ class OnsetChunkOut(NamedTuple):
 
 @partial(jax.jit, static_argnames=("window", "backend"))
 def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
+                         calibration_hold=None,
                          window: int = ONSET_WINDOW, backend: str = "dft"):
     mags = windowed_mags(frames, window, backend=backend)
-    state, out = onset_ops.onset_scan(state, mags, global_floor, tick_suppressed)
+    state, out = onset_ops.onset_scan(state, mags, global_floor,
+                                      tick_suppressed, calibration_hold)
     return state, OnsetChunkOut(out.fired, out.detected, out.velocity,
                                 out.flux, out.energy)
 
@@ -158,7 +160,8 @@ class OnsetAnalyzer:
         self.frames_consumed = 0
 
     def process(self, samples: np.ndarray, global_floor_db: float = -96.0,
-                tick_suppressed: Optional[np.ndarray] = None):
+                tick_suppressed: Optional[np.ndarray] = None,
+                calibration_hold: bool = False):
         buf = np.concatenate([self._tail, np.asarray(samples, np.float32)])
         n = num_frames(len(buf), self.window, self.hop)
         if n == 0:
@@ -172,8 +175,9 @@ class OnsetAnalyzer:
                      np.float32)
         ts = (np.zeros(n, bool) if tick_suppressed is None
               else np.asarray(tick_suppressed, bool)[:n])
+        ch = jnp.full((n,), bool(calibration_hold))
         self.state, out = onset_analyze_frames(
             self.state, jnp.asarray(frames), jnp.asarray(gf), jnp.asarray(ts),
-            self.window, self.backend)
+            ch, self.window, self.backend)
         self.frames_consumed += n
         return jax.tree.map(np.asarray, out)

@@ -45,19 +45,33 @@ def sweep(f0: float, f1: float, duration_s: float, sample_rate: float,
     return (amplitude * np.sin(phase)).astype(np.float32)
 
 
-def lcg_noise(n: int, seed: int = 12345) -> np.ndarray:
-    """Bit-exact vectorized reference LCG noise (ref metronome.rs:56-58).
+def lcg_states(n: int, seed: int) -> np.ndarray:
+    """Bit-exact LCG state sequence via O(log n) jump-doubling.
 
-    Each step: s = (s*1103515245 + 12345) & 0x7FFFFFFF; out = s/2^31 - 1.
-    Vectorized by materializing the sequential states with uint64 math.
+    Each step: s = (s*1103515245 + 12345) & 0x7FFFFFFF.  A block of m known
+    states extends to 2m by applying the m-step jump s -> (A*s + C) mod 2^31
+    with A = a^m, C = c*(a^(m-1)+...+1), all mod 2^31 — products of two
+    31-bit values fit uint64 exactly.
     """
-    states = np.empty(n, dtype=np.uint64)
-    s = np.uint64(seed)
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
     a, c, mask = np.uint64(_LCG_A), np.uint64(_LCG_C), np.uint64(_LCG_MASK)
-    # Chunked sequential update — cheap (integer ops) and exact.
-    for i in range(n):
-        s = ((s * a) + c) & mask
-        states[i] = s
+    states = np.empty(n, dtype=np.uint64)
+    states[0] = (np.uint64(seed) * a + c) & mask
+    m, A, C = 1, a, c
+    while m < n:
+        take = min(m, n - m)
+        states[m:m + take] = (A * states[:take] + C) & mask
+        C = (A * C + C) & mask
+        A = (A * A) & mask
+        m *= 2
+    return states
+
+
+def lcg_noise(n: int, seed: int = 12345) -> np.ndarray:
+    """Bit-exact vectorized reference LCG noise (ref metronome.rs:56-58):
+    out = state/2^31 - 1 over the jump-doubled state sequence."""
+    states = lcg_states(n, seed)
     return (states.astype(np.float32) / np.float32(2147483648.0)
             - np.float32(1.0)).astype(np.float32)
 

@@ -123,7 +123,7 @@ class Metronome:
                     self.current_beat_index = 0
             elif name == "SetPolyrhythm":
                 divs, index = cmd[1], cmd[2]
-                if index < len(self.beat_polyrhythms):
+                if 0 <= index < len(self.beat_polyrhythms):
                     self.beat_polyrhythms[index] = list(divs)
             elif name == "SetMuted":
                 self.muted = bool(cmd[1])

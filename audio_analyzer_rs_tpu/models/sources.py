@@ -67,16 +67,16 @@ class OutputController:
 
 
 class LcgNoise:
-    """Streaming bit-exact reference LCG (ref metronome.rs:56-58)."""
+    """Streaming bit-exact reference LCG (ref metronome.rs:56-58),
+    vectorized per block via jump-doubling (models/generators.lcg_states)."""
 
     def __init__(self, seed: int = 12345):
         self.state = seed
 
     def next_block(self, n: int) -> np.ndarray:
-        out = np.empty(n, dtype=np.float32)
-        s = self.state
-        for i in range(n):
-            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
-            out[i] = np.float32(s) / np.float32(2147483648.0) - np.float32(1.0)
-        self.state = s
-        return out
+        from .generators import lcg_states
+        states = lcg_states(n, self.state)
+        if n > 0:
+            self.state = int(states[-1])
+        return (states.astype(np.float32) / np.float32(2147483648.0)
+                - np.float32(1.0)).astype(np.float32)

@@ -251,7 +251,7 @@ class Synthesizer:
                         v.state = RELEASE
             elif name == "Play":
                 idx = cmd[1]
-                if idx < len(self.measures):
+                if 0 <= idx < len(self.measures):
                     start = self.measures[idx]
                     self.start_measure_global_offset = start.global_start_beat
                     self.count_in_duration = start.duration_beats()

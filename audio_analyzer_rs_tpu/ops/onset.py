@@ -70,7 +70,8 @@ def init_state(half: int = HALF) -> OnsetState:
     )
 
 
-def _step(state: OnsetState, mags, global_floor, tick_suppressed):
+def _step(state: OnsetState, mags, global_floor, tick_suppressed,
+          calibration_hold):
     half = mags.shape[0]
     i = jnp.arange(half, dtype=jnp.float32)
 
@@ -120,8 +121,14 @@ def _step(state: OnsetState, mags, global_floor, tick_suppressed):
     fired = (detected & ~tick_suppressed & energy_rising
              & (state.frames_since_onset >= REFRACTORY_FRAMES))
 
+    # During round-trip calibration the host may reject a fired event
+    # (pre-click noise / implausible residual); the reference then leaves
+    # the refractory counter un-reset (ref onset.rs:535-539, onset_fired
+    # false on rejection), so a `calibration_hold` frame never resets on
+    # `fired` — the engine zeroes the counter explicitly on acceptance.
     frames_since = jnp.where(
-        fired | (detected & (state.frames_since_onset < REFRACTORY_FRAMES)),
+        (fired & ~calibration_hold)
+        | (detected & (state.frames_since_onset < REFRACTORY_FRAMES)),
         0, state.frames_since_onset + 1)
 
     new_state = OnsetState(mags, floor1, jnp.asarray(True), threshold,
@@ -131,22 +138,29 @@ def _step(state: OnsetState, mags, global_floor, tick_suppressed):
 
 @jax.jit
 def onset_scan(state: OnsetState, mags: jax.Array, global_floor: jax.Array,
-               tick_suppressed: jax.Array):
+               tick_suppressed: jax.Array,
+               calibration_hold: jax.Array | None = None):
     """mags [N, HALF], global_floor [N], tick_suppressed [N] bool →
     (state, OnsetFrameOut of [N] arrays)."""
+    if calibration_hold is None:
+        calibration_hold = jnp.zeros(mags.shape[0], bool)
     def body(s, inp):
-        m, g, t = inp
-        return _step(s, m, g, t)
-    return jax.lax.scan(body, state, (mags, global_floor, tick_suppressed),
-                        unroll=8)
+        m, g, t, ch = inp
+        return _step(s, m, g, t, ch)
+    return jax.lax.scan(body, state,
+                        (mags, global_floor, tick_suppressed,
+                         calibration_hold), unroll=8)
 
 
 # ── NumPy oracle (loop transcription, float32) ───────────────────────────
 
 def onset_np(mags: np.ndarray, global_floor: np.ndarray,
-             tick_suppressed: np.ndarray):
+             tick_suppressed: np.ndarray,
+             calibration_hold: np.ndarray | None = None):
     """Transcription of onset.rs:244-543's per-frame math. Returns dict of arrays."""
     n, half = mags.shape
+    if calibration_hold is None:
+        calibration_hold = np.zeros(n, dtype=bool)
     prev = np.zeros(half, dtype=np.float32)
     floor = np.zeros(half, dtype=np.float32)
     floor_init = False
@@ -205,7 +219,8 @@ def onset_np(mags: np.ndarray, global_floor: np.ndarray,
                                  / np.float32(50.0), 0.0, 1.0))
         fired = (detected and not tick_suppressed[fidx] and energy_rising
                  and frames_since >= REFRACTORY_FRAMES)
-        if fired or (detected and frames_since < REFRACTORY_FRAMES):
+        if ((fired and not calibration_hold[fidx])
+                or (detected and frames_since < REFRACTORY_FRAMES)):
             frames_since = 0
         else:
             frames_since += 1

@@ -18,7 +18,11 @@ import numpy as np
 
 from .pitch import MAX_NOTES
 
-MAX_TRACKS = 16  # 8 live raw pitches + up to 8 coasting tracks
+# 8 live raw pitches + up to 8 coasting (life<=3) tracks + headroom so a
+# full-polyphony chord change never drops spawns (the reference Vec grows
+# unboundedly; 24 slots make exhaustion practically unreachable since
+# unmatched tracks die within 3 frames).
+MAX_TRACKS = 24
 DISPLAY_THRESHOLD = 2
 MAX_LIFE = 3
 TOLERANCE = 0.03

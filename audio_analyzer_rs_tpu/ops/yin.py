@@ -41,19 +41,14 @@ def yin_pitch(frames: jax.Array, sample_rate: float, fmin: float = 60.0,
     tau_max = min(int(sample_rate / fmin) + 1, half - 1)
 
     x = frames.astype(jnp.float32)
-    # Autocorrelation r[tau] = sum_j x_j x_{j+tau} over the full frame,
-    # via rfft of the zero-padded frame (linear, not circular).
     pad = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
     spec = jnp.fft.rfft(pad, axis=-1)
-    r = jnp.fft.irfft(spec * jnp.conj(spec), axis=-1)[:, :half].real
 
-    # Difference function over the first half-window integration range:
-    # d[tau] = sum_{j<half} (x_j - x_{j+tau})^2
-    #        = E0 + E_tau - 2 * r_half[tau]
-    # where E_tau = sum_{j=tau}^{tau+half-1} x_j^2 and r_half is the
-    # autocorrelation restricted to half-window terms.  We use the standard
-    # approximation r_half ≈ r (full-frame autocorr) with energies from a
-    # sliding cumsum — the classic fast-YIN formulation.
+    # Difference function over the half-window integration range, computed
+    # exactly: d[tau] = sum_{j<half} (x_j - x_{j+tau})^2
+    #                 = E0 + E_tau - 2 * r_half[tau]
+    # with E_tau from a sliding cumsum and r_half the exact cross-correlation
+    # of the first half-window against the full frame (FFT-based).
     cs = jnp.cumsum(x ** 2, axis=-1)
     cs = jnp.concatenate([jnp.zeros((n, 1), jnp.float32), cs], axis=-1)
     taus = jnp.arange(half)

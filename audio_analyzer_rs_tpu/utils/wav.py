@@ -47,17 +47,21 @@ def read_wav_float(path: str) -> Tuple[np.ndarray, int, int]:
         # Minimal RIFF parse for format-3 (IEEE float) files stdlib rejects.
         with open(path, "rb") as f:
             blob = f.read()
-        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE", "not a WAV file"
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise ValueError(f"not a WAV file: {path}")
         pos, fmt, data = 12, None, None
         while pos + 8 <= len(blob):
             cid, sz = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
             body = blob[pos + 8:pos + 8 + sz]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError(f"malformed WAV fmt chunk: {path}")
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
             pos += 8 + sz + (sz & 1)
-        assert fmt is not None and data is not None, "malformed WAV"
+        if fmt is None or data is None:
+            raise ValueError(f"malformed WAV (missing fmt/data): {path}")
         audio_fmt, channels, sr, _, _, bits = fmt
         if audio_fmt == 3 and bits == 32:
             samples = np.frombuffer(data, dtype="<f4").astype(np.float32)

@@ -173,6 +173,31 @@ def test_onset_detection_of_input_clicks():
 
 # ── recording ────────────────────────────────────────────────────────────
 
+def test_onset_pause_resume_keeps_timestamps_aligned():
+    """Audio dropped while paused must not skew post-resume onset beats
+    (frame positions are re-anchored by the dropped-samples counter)."""
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(int(SR * 3)) * 1e-5).astype(np.float32)
+    click = gen.calibration_click(SR, volume=0.8)
+    x[int(2.5 * SR):int(2.5 * SR) + len(click)] += click  # after the pause
+    e = AudioEngine(input_source=ArraySource(x))
+    e.transport.set_calibration_offset(1)
+    e.transport.set_input_latency(0)
+    e.transport.set_output_latency(0)
+    e.transport.set_bpm(120.0)
+    onset = e.start_onset_detection()
+    e.start_output()
+    e.advance(0.5)
+    onset.pause()
+    e.advance(1.0)       # 1 s of audio dropped
+    onset.resume()
+    e.advance(1.6)
+    events = json.loads(onset.poll_onsets())
+    assert events, "expected the post-resume click to fire"
+    # Click at 2.5 s = beat 5.0 at 120 BPM (compensated within ~0.1 beat).
+    assert abs(events[0]["beat_position"] - 5.0) < 0.15, events
+
+
 def test_recording_writes_wav(tmp_path):
     tone = gen.sine(440.0, 1.0, SR, amplitude=0.4)
     e = AudioEngine(input_source=ArraySource(tone))
