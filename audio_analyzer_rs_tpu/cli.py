@@ -10,6 +10,7 @@ virtual device — deterministically, from files.
 Usage:
   python -m audio_analyzer_rs_tpu.cli tuner <wav>
   python -m audio_analyzer_rs_tpu.cli onset <wav>
+  python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
   python -m audio_analyzer_rs_tpu.cli met <bpm> <seconds> <out.wav>
   python -m audio_analyzer_rs_tpu.cli synth <midi> <out.wav> [instrument]
   python -m audio_analyzer_rs_tpu.cli practice <midi> [wav]
@@ -71,6 +72,16 @@ def cmd_onset(path: str) -> None:
         print(f"  beat {ev['beat_position']:8.3f} "
               f"(~{ev['beat_position'] / bps:6.3f}s) "
               f"velocity {ev['velocity']:.2f}")
+
+
+def cmd_rec(in_path: str, out_path: str) -> None:
+    """Record the (virtual) microphone through the conditioning chain."""
+    audio, sr = _load_mono(in_path)
+    e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
+    e.start_recording(out_path)
+    e.advance(len(audio) / sr + 0.1)
+    e.stop_recording()
+    print(f"recorded {len(audio) / sr:.2f}s (conditioned) to {out_path}")
 
 
 def cmd_met(bpm: float, seconds: float, out_path: str) -> None:
@@ -234,6 +245,8 @@ def main(argv=None) -> None:
         cmd_tuner(pos[0])
     elif cmd == "onset":
         cmd_onset(pos[0])
+    elif cmd == "rec":
+        cmd_rec(pos[0], pos[1])
     elif cmd == "met":
         cmd_met(float(pos[0]), float(pos[1]), pos[2])
     elif cmd == "synth":
