@@ -86,7 +86,11 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
         search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
         # Window values for all offsets c in one stacked tensor; bounds become
         # a broadcast band mask.  max/argmax pick the first (lowest-h) maximum
-        # like the Rust ascending scan with strict >.
+        # like the Rust ascending scan with strict >.  (A running-max variant
+        # uses less HBM but its 247 unrolled select rounds compile
+        # pathologically slowly under vmap on this backend; the stacked form
+        # caps segment-parallel vmap at ~16 streams/chip, which is the
+        # measured throughput sweet spot anyway.)
         cs_py = list(range(-n - 1, n + 2))
         cs = jnp.asarray(cs_py, dtype=jnp.int32)
         vals = jnp.stack([
