@@ -113,6 +113,27 @@ def test_poll_onsets_json_format():
     assert onset.poll_onsets() == "[]"
 
 
+def test_string_enum_silent_fallbacks():
+    """Lenient string-enum parsing with silent fallbacks (ref lib.rs:95-114,
+    136-145, 178-186; testing.rs exercises the same)."""
+    e = AudioEngine()
+    tuner = e.start_tuner()
+    tuner.set_mode("garbage")        # → MultiPitch
+    tuner.set_system("nonsense")     # → EqualTemperament
+    e.advance(0.1)
+    out = json.loads(tuner.poll_output())
+    assert out["mode"] == "MultiPitch"
+    assert out["system"] == "EqualTemperament"
+
+    met = e.create_metronome(120.0, [3, 2, 1, 99], [], 1.0, False)
+    # 99 maps to "None" (silent beat) — no crash, pattern length preserved.
+    assert met._source.pattern == ["Strong", "Medium", "Weak", "None"]
+
+    synth = e.create_synth()
+    assert synth._instrument("Accordion") == "Violin"   # fallback
+    assert synth._instrument("Piano") == "Piano"
+
+
 # ── end-to-end: tuner hears a tone through the virtual mic ───────────────
 
 def test_tuner_detects_tone_end_to_end():
