@@ -56,6 +56,15 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     denom = y_l - 2.0 * y + y_r
     delta = jnp.where(jnp.abs(denom) < 1e-30, 0.0,
                       jnp.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
+    # A peak with an exactly-zero neighbor makes ln() produce NaN through
+    # the interpolation; the reference's NaN propagates until the final
+    # freq-range filter silently drops the candidate (NaN comparisons are
+    # false).  We zero such peaks' scores up front instead — same net
+    # output, no NaN-dependent int conversions (only reachable on
+    # synthetic spectra; real FFT magnitudes are never exactly 0 beside a
+    # peak).
+    degenerate = ~jnp.isfinite(delta)
+    delta = jnp.where(degenerate, 0.0, delta)
     frac_bin = k.astype(jnp.float32) + delta
 
     # ── harmonic comb scoring, all bins in parallel (stft.rs:499-545) ────
@@ -121,7 +130,7 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     log_score = jnp.log2(0.5 + score)
     struct_mult = (1.0 + longest_run.astype(jnp.float32)
                    + total_harms.astype(jnp.float32) / 2.0) / (1.0 + MAX_HARMONICS)
-    scores = jnp.where(is_peak & ~low_fund & ~struct_fail,
+    scores = jnp.where(is_peak & ~low_fund & ~struct_fail & ~degenerate,
                        log_score * struct_mult, 0.0)
 
     # ── cutoff at 50% of max (stft.rs:547-562) ──────────────────────────
@@ -212,12 +221,18 @@ def extract_pitches_np(magnitudes: np.ndarray, noise_floor: np.ndarray,
         if fund_mag < noise_floor[k] * 5.0:
             scores[k] = 0.0
             continue
-        y_l = np.log(magnitudes[k - 1])
-        y_c = np.log(magnitudes[k])
-        y_r = np.log(magnitudes[k + 1])
-        denom = y_l - 2.0 * y_c + y_r
-        delta = 0.0 if abs(denom) < 1e-30 else float(
-            np.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y_l = np.log(magnitudes[k - 1])
+            y_c = np.log(magnitudes[k])
+            y_r = np.log(magnitudes[k + 1])
+            denom = y_l - 2.0 * y_c + y_r
+            delta = 0.0 if abs(denom) < 1e-30 else float(
+                np.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
+        if not np.isfinite(delta):
+            # Zero-magnitude neighbor: the reference's NaN candidate is
+            # dropped by the final freq filter; drop it here directly.
+            scores[k] = 0.0
+            continue
         frac_bin = np.float32(k + delta)
         frac_bins[k] = frac_bin
         score = np.float32(fund_mag)
