@@ -1,0 +1,153 @@
+"""Line-delimited JSON-RPC surface over the AudioEngine.
+
+The reference embeds in Swift/Kotlin frontends through uniffi FFI with
+poll-based JSON methods (ref src/lib.rs).  The equivalent embedding story
+here is a process boundary: any frontend (RN, web, native) talks
+newline-delimited JSON over stdio or TCP to this server, calling the same
+method names and receiving the same JSON payloads the uniffi objects return.
+
+Protocol: one request per line {"id": n, "method": "...", "params": [...]},
+one response per line {"id": n, "result": ...} or {"id": n, "error": "..."}.
+Audio pushes are base64-encoded little-endian float32.
+
+Methods mirror the engine surface: start_input/start_output, create_* /
+stop_* for metronome, synth, player, recording, onset detection, tuner,
+practice session, the poll_* JSON getters, push_audio, advance (virtual
+time) and run_realtime.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import sys
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from .device import PushSource
+from .engine import AudioEngine, AudioEngineError
+
+
+class RpcServer:
+    def __init__(self, sample_rate: float = 48000.0, buffer_size: int = 1024,
+                 loopback_latency_samples: int = 0, loopback_gain: float = 0.0):
+        self.source = PushSource()
+        self.engine = AudioEngine(
+            input_source=self.source, sample_rate=sample_rate,
+            buffer_size=buffer_size,
+            loopback_latency_samples=loopback_latency_samples,
+            loopback_gain=loopback_gain)
+
+    # ── dispatch ─────────────────────────────────────────────────────────
+
+    def handle(self, request: dict) -> dict:
+        rid = request.get("id")
+        method = request.get("method", "")
+        params = request.get("params", [])
+        try:
+            result = self._dispatch(method, params)
+            return {"id": rid, "result": result}
+        except AudioEngineError as exc:
+            return {"id": rid, "error": str(exc)}
+        except Exception as exc:  # malformed params etc.
+            return {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
+
+    def _dispatch(self, method: str, params: List[Any]):
+        e = self.engine
+        if method == "ping":
+            return "pong"
+        if method == "push_audio":
+            samples = np.frombuffer(base64.b64decode(params[0]), dtype="<f4")
+            self.source.push(samples)
+            return len(samples)
+        if method == "advance":
+            e.advance(float(params[0]))
+            return True
+        if method == "run_realtime":
+            e.run_realtime(float(params[0]))
+            return True
+        if method in ("start_input", "start_output", "clean_input",
+                      "clean_output", "stop_metronome", "stop_synth",
+                      "stop_player", "stop_recording", "stop_onset_detection",
+                      "stop_tuner", "stop_practice_session"):
+            getattr(e, method)()
+            return True
+        if method == "poll_dynamics":
+            return json.loads(e.poll_dynamics())
+        if method == "poll_transport":
+            return json.loads(e.poll_transport())
+        if method == "create_metronome":
+            e.create_metronome(*params)
+            return True
+        if method.startswith("metronome."):
+            return getattr(e.active_metronome, method.split(".", 1)[1])(*params)
+        if method == "create_synth":
+            e.create_synth()
+            return True
+        if method.startswith("synth."):
+            return getattr(e.active_synth, method.split(".", 1)[1])(*params)
+        if method == "create_player":
+            e.create_player()
+            return True
+        if method.startswith("player."):
+            return getattr(e.active_player, method.split(".", 1)[1])(*params)
+        if method == "start_recording":
+            e.start_recording(params[0])
+            return True
+        if method.startswith("recording."):
+            return getattr(e.active_recording, method.split(".", 1)[1])(*params)
+        if method == "start_onset_detection":
+            e.start_onset_detection()
+            return True
+        if method == "poll_onsets":
+            return json.loads(e.active_onset.poll_onsets())
+        if method.startswith("onset."):
+            return getattr(e.active_onset, method.split(".", 1)[1])(*params)
+        if method == "start_tuner":
+            e.start_tuner()
+            return True
+        if method == "poll_output":
+            return json.loads(e.active_tuner.poll_output())
+        if method.startswith("tuner."):
+            return getattr(e.active_tuner, method.split(".", 1)[1])(*params)
+        if method == "create_practice_session":
+            e.create_practice_session(*params)
+            return True
+        if method in ("practice.poll_transport", "practice.poll_errors",
+                      "practice.get_metrics"):
+            return json.loads(getattr(e.active_practice_session,
+                                      method.split(".", 1)[1])())
+        if method.startswith("practice."):
+            return getattr(e.active_practice_session,
+                           method.split(".", 1)[1])(*params)
+        raise ValueError(f"unknown method '{method}'")
+
+    # ── transports ───────────────────────────────────────────────────────
+
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            if line == "quit":
+                break
+            try:
+                request = json.loads(line)
+            except json.JSONDecodeError as exc:
+                stdout.write(json.dumps({"id": None,
+                                         "error": f"bad json: {exc}"}) + "\n")
+                stdout.flush()
+                continue
+            stdout.write(json.dumps(self.handle(request)) + "\n")
+            stdout.flush()
+
+
+def main() -> None:
+    RpcServer().serve_stdio()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""JSON-RPC embedding surface tests (the uniffi-analog process boundary)."""
+
+import base64
+import io
+import json
+
+import numpy as np
+
+from audio_analyzer_rs_tpu.api.rpc import RpcServer
+from audio_analyzer_rs_tpu.models import generators as gen
+
+SR = 48000.0
+
+
+def call(server, method, *params):
+    resp = server.handle({"id": 1, "method": method, "params": list(params)})
+    assert "error" not in resp, resp
+    return resp["result"]
+
+
+def test_rpc_tuner_flow():
+    s = RpcServer()
+    tone = gen.tone_with_harmonics(220.0, 1.2, SR, harmonics=6, amplitude=0.3)
+    call(s, "push_audio",
+         base64.b64encode(tone.astype("<f4").tobytes()).decode())
+    call(s, "start_tuner")
+    call(s, "tuner.set_base_freq", 440.0)
+    call(s, "advance", 1.0)
+    out = call(s, "poll_output")
+    assert "A3" in out["notes"], out
+    dyn = call(s, "poll_dynamics")
+    assert dyn["level"] in ("mf", "f", "mp", "p")
+
+
+def test_rpc_metronome_and_transport():
+    s = RpcServer()
+    call(s, "create_metronome", 120.0, [3, 1, 1, 1], [], 1.0, False)
+    call(s, "metronome.set_volume", 0.5)
+    call(s, "advance", 1.0)
+    snap = call(s, "poll_transport")
+    assert snap["is_playing"] is True
+    assert abs(snap["beat_position"] - 2.0) < 0.1
+
+
+def test_rpc_errors_surface():
+    s = RpcServer()
+    call(s, "start_tuner")
+    resp = s.handle({"id": 7, "method": "start_tuner", "params": []})
+    assert "Already active" in resp["error"]
+    resp = s.handle({"id": 8, "method": "nope", "params": []})
+    assert "unknown method" in resp["error"]
+
+
+def test_rpc_stdio_roundtrip():
+    s = RpcServer()
+    stdin = io.StringIO(
+        json.dumps({"id": 1, "method": "ping", "params": []}) + "\n"
+        + "not json\n"
+        + json.dumps({"id": 2, "method": "poll_transport", "params": []}) + "\n"
+        + "quit\n")
+    stdout = io.StringIO()
+    s.serve_stdio(stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert lines[0] == {"id": 1, "result": "pong"}
+    assert "bad json" in lines[1]["error"]
+    assert lines[2]["result"]["beat_position"] == 0.0
