@@ -32,8 +32,15 @@ LPF_FREQ = 14000.0
 
 
 def biquad_coeffs(freq: float, sample_rate: float, is_lpf: bool):
-    """RBJ biquad with Q=0.707, normalized (ref mod.rs:351-377), float32."""
+    """RBJ biquad with Q=0.707, normalized (ref mod.rs:351-377), float32.
+
+    Divergence: the reference computes coefficients for any cutoff, so at
+    device rates below 2*LPF_FREQ=28 kHz (e.g. 22.05 kHz) its 14 kHz lowpass
+    has poles outside the unit circle and the whole pipeline NaNs out.  We
+    clamp the cutoff to 0.45*fs — a no-op at every standard rate >= 32 kHz.
+    """
     f32 = np.float32
+    freq = min(float(freq), 0.45 * float(sample_rate))
     w0 = f32(2.0) * f32(np.pi) * f32(freq) / f32(sample_rate)
     cos_w0, sin_w0 = f32(np.cos(w0)), f32(np.sin(w0))
     alpha = f32(sin_w0 / (2.0 * 0.707))

@@ -123,7 +123,10 @@ struct Biquad {
     float x1 = 0, x2 = 0, y1 = 0, y2 = 0;
 
     void init(float freq, float sample_rate, bool is_lpf) {
-        // RBJ with Q = 0.707, f32 math (ref mod.rs:351-377).
+        // RBJ with Q = 0.707, f32 math (ref mod.rs:351-377).  Cutoff clamped
+        // below Nyquist (the reference NaNs out at rates < 2*cutoff); no-op
+        // at standard rates — matches ops/reducer.py biquad_coeffs.
+        if (freq > 0.45f * sample_rate) freq = 0.45f * sample_rate;
         float w0 = 2.0f * (float)M_PI * freq / sample_rate;
         float cw = std::cos(w0), sw = std::sin(w0);
         float alpha = sw / (2.0f * 0.707f);

@@ -113,6 +113,19 @@ def test_poll_onsets_json_format():
     assert onset.poll_onsets() == "[]"
 
 
+@pytest.mark.parametrize("rate", [22050.0, 44100.0, 96000.0])
+def test_engine_at_other_sample_rates(rate):
+    """The reference adapts to whatever rate the device reports
+    (ref mod.rs:121-128); all analyzers must work at any rate."""
+    tone = gen.tone_with_harmonics(220.0, 1.2, rate, harmonics=6,
+                                   amplitude=0.3)
+    e = AudioEngine(input_source=ArraySource(tone), sample_rate=rate)
+    tuner = e.start_tuner()
+    e.advance(1.0)
+    out = json.loads(tuner.poll_output())
+    assert "A3" in out["notes"], (rate, out)
+
+
 def test_string_enum_silent_fallbacks():
     """Lenient string-enum parsing with silent fallbacks (ref lib.rs:95-114,
     136-145, 178-186; testing.rs exercises the same)."""
