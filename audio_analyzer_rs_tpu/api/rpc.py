@@ -57,6 +57,29 @@ class RpcServer:
         e = self.engine
         if method == "ping":
             return "pong"
+        if method == "configure":
+            # Declare the host device's format before any stream starts —
+            # the reference adapts to whatever cpal reports (ref mod.rs:
+            # 121-128); an embedding host declares it here instead.
+            if (e.device.input_running or e.device.output_running
+                    or e.transport.get_input_frames() > 0):
+                raise AudioEngineError(
+                    "configure must precede stream start")
+            cfg = params[0] if params else {}
+            if float(cfg.get("sample_rate", 48000.0)) <= 0:
+                raise AudioEngineError("sample_rate must be positive")
+            if int(cfg.get("buffer_size", 1024)) <= 0:
+                raise AudioEngineError("buffer_size must be positive")
+            self.source = PushSource()
+            self.engine = AudioEngine(
+                input_source=self.source,
+                sample_rate=float(cfg.get("sample_rate", 48000.0)),
+                buffer_size=int(cfg.get("buffer_size", 1024)),
+                loopback_latency_samples=int(
+                    cfg.get("loopback_latency_samples", 0)),
+                loopback_gain=float(cfg.get("loopback_gain", 0.0)))
+            return {"sample_rate": self.engine.sample_rate,
+                    "buffer_size": self.engine.buffer_size}
         if method == "push_audio":
             samples = np.frombuffer(base64.b64decode(params[0]), dtype="<f4")
             self.source.push(samples)

@@ -32,6 +32,25 @@ def test_rpc_tuner_flow():
     assert dyn["level"] in ("mf", "f", "mp", "p")
 
 
+def test_rpc_configure_device_format():
+    """An embedding host declares its device format before starting streams
+    (the cpal-probing analog, ref mod.rs:121-128)."""
+    s = RpcServer()
+    rate = 22050.0
+    got = call(s, "configure", {"sample_rate": rate, "buffer_size": 512})
+    assert got == {"sample_rate": rate, "buffer_size": 512}
+    tone = gen.tone_with_harmonics(220.0, 1.2, rate, harmonics=6, amplitude=0.3)
+    call(s, "push_audio",
+         base64.b64encode(tone.astype("<f4").tobytes()).decode())
+    call(s, "start_tuner")
+    call(s, "advance", 1.0)
+    assert "A3" in call(s, "poll_output")["notes"]
+    # Reconfiguring after audio has flowed must be refused.
+    resp = s.handle({"id": 3, "method": "configure",
+                     "params": [{"sample_rate": 48000.0}]})
+    assert "must precede" in resp["error"]
+
+
 def test_rpc_metronome_and_transport():
     s = RpcServer()
     call(s, "create_metronome", 120.0, [3, 1, 1, 1], [], 1.0, False)
