@@ -24,12 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import noisefloor, tracker
-from ..ops.stft import PITCH_HOP, PITCH_WINDOW
+from ..ops import noisefloor, onset as onset_ops, tracker
+from ..ops.stft import ONSET_HOP, ONSET_WINDOW, PITCH_HOP, PITCH_WINDOW
 from ..utils.framing import frame_signal, num_frames
-from .analyzer import pitch_analyze_frames
+from .analyzer import onset_analyze_frames, pitch_analyze_frames
 
 DEFAULT_WARMUP_FRAMES = 256
+# Onset state converges much faster than the pitch floor (flux/energy EMAs
+# with per-frame alphas 0.84-0.89, TC < 10 frames; rise-once burst floors),
+# but frames are also much shorter (hop 64 ≈ 1.45 ms), so a longer frame
+# count is still a short wall-clock warmup (~0.74 s).
+DEFAULT_ONSET_WARMUP_FRAMES = 512
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
@@ -129,3 +134,99 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
             out_scores[lo:hi] = ss[s, src:src + (hi - lo)]
             out_valid[lo:hi] = sv[s, src:src + (hi - lo)]
     return out_freqs, out_scores, out_valid
+
+
+@partial(jax.jit, static_argnames=("window", "backend", "hop"))
+def _vmapped_onset_step(states, audio_chunks, global_floor, tick_sup, hold,
+                        window: int, backend: str, hop: int):
+    def one(st, audio, gf, ts, ch):
+        frames = frame_signal(audio, window, hop)
+        return onset_analyze_frames(st, frames, gf, ts, ch, window, backend)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+        states, audio_chunks, global_floor, tick_sup, hold)
+
+
+def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
+                             segments: int = 16,
+                             warmup_frames: int = DEFAULT_ONSET_WARMUP_FRAMES,
+                             chunk_frames: int = 4096,
+                             window: int = ONSET_WINDOW,
+                             hop: int = ONSET_HOP,
+                             backend: str = "dft",
+                             global_floor_db: float = -96.0):
+    """Segment-parallel offline onset detection over one long mono buffer.
+
+    Same warmup-overlap scheme as `segmented_pitch_analysis`; segment 0 is
+    bit-identical to the sequential run.  Returns
+    (fired [N] bool, velocity [N] f32, flux [N] f32, energy [N] f32)
+    for all N = num_frames(len(audio)) onset frames, in order.
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    n_total = num_frames(len(audio), window, hop)
+    if n_total <= 0:
+        z = np.zeros(0, np.float32)
+        return np.zeros(0, bool), z, z.copy(), z.copy()
+
+    segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
+    payload = -(-max(n_total - warmup_frames, 1) // segments)
+    payload = -(-payload // chunk_frames) * chunk_frames
+    stream_len = warmup_frames + payload
+    steps = -(-stream_len // chunk_frames)
+
+    def seg_payload_range(s):
+        if s == 0:
+            return 0, min(stream_len, n_total)
+        lo = stream_len + (s - 1) * payload
+        return lo, min(lo + payload, n_total)
+
+    stream_start = np.array(
+        [0 if s == 0 else seg_payload_range(s)[0] - warmup_frames
+         for s in range(segments)])
+    assert (stream_start >= 0).all()
+
+    half = window // 2 + 1
+    gf_lin = float(np.asarray(
+        noisefloor.global_floor_linear(global_floor_db, half)))
+
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (segments,) + a.shape),
+        onset_ops.init_state(half))
+
+    chunk_samples = (chunk_frames - 1) * hop + window
+    max_sample = int(stream_start.max() + steps * chunk_frames) * hop \
+        + chunk_samples
+    audio_pad = np.pad(audio, (0, max(0, max_sample - len(audio))))
+
+    out_fired = np.zeros(n_total, bool)
+    out_vel = np.zeros(n_total, np.float32)
+    out_flux = np.zeros(n_total, np.float32)
+    out_energy = np.zeros(n_total, np.float32)
+
+    gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
+    ts = jnp.zeros((segments, chunk_frames), bool)
+    hold = jnp.zeros((segments, chunk_frames), bool)
+
+    for step in range(steps):
+        starts = (stream_start + step * chunk_frames) * hop
+        chunks = np.stack([audio_pad[s:s + chunk_samples] for s in starts])
+        states, out = _vmapped_onset_step(
+            states, jnp.asarray(chunks), gf, ts, hold, window, backend, hop)
+        fired = np.asarray(out.fired)
+        vel = np.asarray(out.velocity)
+        flux = np.asarray(out.flux)
+        energy = np.asarray(out.energy)
+        for s in range(segments):
+            pay_lo, pay_hi = seg_payload_range(s)
+            if pay_lo >= pay_hi:
+                continue
+            g0 = stream_start[s] + step * chunk_frames
+            lo = max(g0, pay_lo)
+            hi = min(g0 + chunk_frames, pay_hi)
+            if lo >= hi:
+                continue
+            src = lo - g0
+            out_fired[lo:hi] = fired[s, src:src + (hi - lo)]
+            out_vel[lo:hi] = vel[s, src:src + (hi - lo)]
+            out_flux[lo:hi] = flux[s, src:src + (hi - lo)]
+            out_energy[lo:hi] = energy[s, src:src + (hi - lo)]
+    return out_fired, out_vel, out_flux, out_energy

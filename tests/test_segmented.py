@@ -4,8 +4,9 @@ exact sequential run."""
 import numpy as np
 
 from audio_analyzer_rs_tpu.models import generators as gen
-from audio_analyzer_rs_tpu.models.analyzer import PitchAnalyzer
-from audio_analyzer_rs_tpu.models.segmented import segmented_pitch_analysis
+from audio_analyzer_rs_tpu.models.analyzer import OnsetAnalyzer, PitchAnalyzer
+from audio_analyzer_rs_tpu.models.segmented import (
+    segmented_onset_analysis, segmented_pitch_analysis)
 from audio_analyzer_rs_tpu.utils.framing import num_frames
 
 SR = 44100.0
@@ -68,3 +69,46 @@ def test_segmented_short_audio_single_segment():
 def test_segmented_empty():
     sf, ss, sv = segmented_pitch_analysis(np.zeros(100, np.float32), SR)
     assert sf.shape == (0, 8)
+
+
+def percussive(duration_s: float, period_s: float = 0.5) -> np.ndarray:
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(int(SR * duration_s)) * 1e-4).astype(np.float32)
+    t = 0.1
+    while t < duration_s - 0.1:
+        burst = gen.noise_burst(0.6, 20.0, SR, seed=int(t * 1000))
+        s = int(t * SR)
+        x[s:s + len(burst)] += burst
+        t += period_s
+    return x
+
+
+def test_segmented_onset_matches_sequential():
+    x = percussive(20.0)
+    n = num_frames(len(x), 256, 64)
+    fired, vel, flux, energy = segmented_onset_analysis(
+        x, SR, segments=4, warmup_frames=256, chunk_frames=1024)
+    assert fired.shape == (n,)
+
+    seq = OnsetAnalyzer(SR)
+    out = seq.process(x)
+    seq_fired = np.asarray(out.fired)[:n]
+
+    seg_onsets = np.flatnonzero(fired)
+    seq_onsets = np.flatnonzero(seq_fired)
+    # Every sequential onset matched by a segmented one within 2 frames
+    # (borderline threshold frames may shift by one near warm-started state).
+    assert len(seg_onsets) == len(seq_onsets), (seg_onsets, seq_onsets)
+    assert np.abs(seg_onsets - seq_onsets).max() <= 2
+
+    # Segment 0 runs from the fresh state → bit-identical prefix.
+    first_seg = min(n, 256 + 1024)
+    np.testing.assert_array_equal(fired[:first_seg], seq_fired[:first_seg])
+    np.testing.assert_array_equal(vel[:first_seg],
+                                  np.asarray(out.velocity)[:first_seg])
+
+
+def test_segmented_onset_empty():
+    fired, vel, flux, energy = segmented_onset_analysis(
+        np.zeros(100, np.float32), SR)
+    assert fired.shape == (0,)
