@@ -34,7 +34,11 @@ from .utils.midi import load_midi_file
 
 
 def _load_mono(path: str):
-    data, sr, ch = wav.read_wav_float(path)
+    try:
+        data, sr, ch = wav.read_wav_float(path)
+    except (ValueError, OSError):
+        from . import runtime
+        return runtime.decode_file(path)  # mp3/flac/ogg/... already mono
     return wav.downmix_mono(data, ch), float(sr)
 
 

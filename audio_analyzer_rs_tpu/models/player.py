@@ -3,8 +3,10 @@
 Port of the reference player (ref src/generators/player.rs:1-233): decode the
 whole file upfront to interleaved f32, then resample by rate ratio with
 linear interpolation, controlled by Play/Pause/Stop/Seek commands.  The
-symphonia decoder becomes the WAV loader (utils/wav.py); resampling is a
-vectorized gather per buffer instead of a per-sample loop.
+symphonia decoder becomes the stdlib WAV loader (utils/wav.py) plus the
+native FFmpeg decode module for every other container/codec (mp3, flac,
+ogg, ... — runtime/audio_decode.cpp); resampling is a vectorized gather
+per buffer instead of a per-sample loop.
 """
 
 from __future__ import annotations
@@ -31,7 +33,15 @@ class AudioPlayer:
     # ── controller ops (ref player.rs:145-232) ──────────────────────────
 
     def load_file(self, path: str) -> None:
-        data, sr, channels = wav.read_wav_float(path)
+        try:
+            data, sr, channels = wav.read_wav_float(path)
+        except (ValueError, OSError):
+            # Not a (PCM) WAV — decode through the native FFmpeg module,
+            # which covers every format the reference's symphonia build does
+            # (ref player.rs:170-260).  Decodes to mono at native rate.
+            from .. import runtime
+            data, sr = runtime.decode_file(path)
+            channels = 1
         self.send("LoadTrack", data, sr, channels)
 
     def send(self, cmd: str, *args) -> bool:

@@ -93,6 +93,86 @@ def available() -> bool:
     return _load() is not None
 
 
+# ── universal decode (runtime/audio_decode.cpp, the symphonia analog) ──────
+
+_DECODE_PATH = os.path.join(_RUNTIME_DIR, "libaudio_decode.so")
+_decode_lib = None
+_decode_failed = False
+
+
+def _load_decode() -> Optional[ctypes.CDLL]:
+    global _decode_lib, _decode_failed
+    if _decode_lib is not None:
+        return _decode_lib
+    if _decode_failed:
+        return None
+    if not os.path.exists(_DECODE_PATH) and not _build():
+        _decode_failed = True
+        return None
+    if not os.path.exists(_DECODE_PATH):  # built, but no FFmpeg dev libs
+        _decode_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_DECODE_PATH)
+    except OSError:
+        _decode_failed = True
+        return None
+    c = ctypes
+    lib.decode_audio_file.restype = c.POINTER(c.c_float)
+    lib.decode_audio_file.argtypes = [c.c_char_p, c.POINTER(c.c_longlong),
+                                      c.POINTER(c.c_int), c.c_char_p, c.c_int]
+    lib.decode_free.argtypes = [c.POINTER(c.c_float)]
+    lib.encode_audio_file.restype = c.c_int
+    lib.encode_audio_file.argtypes = [c.c_char_p, c.POINTER(c.c_float),
+                                      c.c_longlong, c.c_int, c.c_char_p,
+                                      c.c_int]
+    _decode_lib = lib
+    return lib
+
+
+def decode_available() -> bool:
+    return _load_decode() is not None
+
+
+def decode_file(path: str) -> Tuple[np.ndarray, float]:
+    """Decode any container/codec to (mono float32, native sample rate).
+
+    The reference decodes with symphonia (ref generators/player.rs:170-260);
+    this uses the system FFmpeg libraries through runtime/audio_decode.cpp.
+    """
+    lib = _load_decode()
+    if lib is None:
+        raise RuntimeError("native decode unavailable (FFmpeg libs missing)")
+    n = ctypes.c_longlong(0)
+    rate = ctypes.c_int(0)
+    err = ctypes.create_string_buffer(256)
+    buf = lib.decode_audio_file(path.encode(), ctypes.byref(n),
+                                ctypes.byref(rate), err, len(err))
+    if not buf:
+        raise ValueError(f"decode failed for {path!r}: "
+                         f"{err.value.decode(errors='replace')}")
+    try:
+        samples = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.decode_free(buf)
+    return samples, float(rate.value)
+
+
+def encode_file(path: str, samples: np.ndarray, sample_rate: float) -> None:
+    """Encode mono float32 to `path`; container/codec from the extension."""
+    lib = _load_decode()
+    if lib is None:
+        raise RuntimeError("native encode unavailable (FFmpeg libs missing)")
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.encode_audio_file(
+        path.encode(), samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(samples), int(sample_rate), err, len(err))
+    if rc != 0:
+        raise ValueError(f"encode failed for {path!r}: "
+                         f"{err.value.decode(errors='replace')}")
+
+
 class NativeReducer:
     """Streaming conditioning + AGC in C++ (drop-in for HostReducer+AGC)."""
 
