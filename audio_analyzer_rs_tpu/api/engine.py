@@ -191,19 +191,42 @@ class Player:
 
 
 class Recording:
-    """WAV recorder consumer (ref audio_io/recorder.rs, lib.rs:283-302)."""
+    """Recorder consumer (ref audio_io/recorder.rs, lib.rs:283-302).
+
+    WAV (the reference's hound path) streams i16 frames to disk as they
+    arrive; any other extension (flac/ogg/...) buffers float32 and encodes
+    through the native FFmpeg module on stop — beyond the reference, which
+    is WAV-only."""
 
     def __init__(self, path: str, sample_rate: int):
-        self._writer = wave_mod.open(path, "wb")
-        self._writer.setnchannels(1)
-        self._writer.setsampwidth(2)
-        self._writer.setframerate(sample_rate)
+        self._path = path
+        self._rate = sample_rate
         self.state = 1   # -1 stop / 0 pause / 1 run
         self._finalized = False
+        if path.lower().endswith(".wav"):
+            self._writer = wave_mod.open(path, "wb")
+            self._writer.setnchannels(1)
+            self._writer.setsampwidth(2)
+            self._writer.setframerate(sample_rate)
+            self._pending = None
+        else:
+            from .. import runtime as native_runtime
+            if not native_runtime.decode_available():
+                raise FileError(
+                    f"cannot encode {path!r}: FFmpeg libs unavailable")
+            if not native_runtime.encode_supported(path):
+                raise FileError(
+                    f"cannot encode {path!r}: no encoder for extension")
+            self._writer = None
+            self._pending: List[np.ndarray] = []
 
     def consume(self, slot: np.ndarray) -> None:
-        if self.state == 1:
+        if self.state != 1:
+            return
+        if self._writer is not None:
             self._writer.writeframes(quantize_i16(slot).tobytes())
+        else:
+            self._pending.append(np.asarray(slot, np.float32).copy())
 
     def pause(self) -> None:
         self.state = 0
@@ -213,9 +236,17 @@ class Recording:
 
     def stop(self) -> None:
         self.state = -1
-        if not self._finalized:
+        if self._finalized:
+            return
+        self._finalized = True
+        if self._writer is not None:
             self._writer.close()
-            self._finalized = True
+        else:
+            from .. import runtime as native_runtime
+            samples = (np.concatenate(self._pending)
+                       if self._pending else np.zeros(1, np.float32))
+            native_runtime.encode_file(self._path, samples, self._rate)
+            self._pending = []
 
 
 class OnsetDetection:

@@ -126,12 +126,20 @@ def _load_decode() -> Optional[ctypes.CDLL]:
     lib.encode_audio_file.argtypes = [c.c_char_p, c.POINTER(c.c_float),
                                       c.c_longlong, c.c_int, c.c_char_p,
                                       c.c_int]
+    lib.encode_supported.restype = c.c_int
+    lib.encode_supported.argtypes = [c.c_char_p]
     _decode_lib = lib
     return lib
 
 
 def decode_available() -> bool:
     return _load_decode() is not None
+
+
+def encode_supported(path: str) -> bool:
+    """True when `path`'s extension maps to an encodable audio container."""
+    lib = _load_decode()
+    return bool(lib) and bool(lib.encode_supported(path.encode()))
 
 
 def decode_file(path: str) -> Tuple[np.ndarray, float]:

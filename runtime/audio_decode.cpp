@@ -154,6 +154,15 @@ float* decode_audio_file(const char* path, long long* out_n, int* out_rate,
 
 void decode_free(float* p) { std::free(p); }
 
+// 1 if `path`'s extension maps to a known container with an available audio
+// encoder (so encode_audio_file can succeed), else 0.  Lets callers reject
+// an un-encodable recording target up front instead of at finalize time.
+int encode_supported(const char* path) {
+    const AVOutputFormat* of = av_guess_format(nullptr, path, nullptr);
+    if (!of || of->audio_codec == AV_CODEC_ID_NONE) return 0;
+    return avcodec_find_encoder(of->audio_codec) ? 1 : 0;
+}
+
 // Encode mono float32 `samples` to `path`; the container/codec is inferred
 // from the extension (flac, ogg, wav, ...).  Returns 0 on success, -1 with
 // a message in `err` otherwise.

@@ -71,6 +71,28 @@ def test_player_loads_flac(tmp_path, tone):
                                atol=2.0 ** -15)
 
 
+def test_recording_to_flac(tmp_path, tone):
+    """Recording with a non-.wav extension buffers and encodes on stop."""
+    from audio_analyzer_rs_tpu.api.device import ArraySource
+    from audio_analyzer_rs_tpu.api.engine import AudioEngine, AudioEngineError
+
+    e = AudioEngine(input_source=ArraySource(tone), sample_rate=SR)
+    rec = e.start_recording(str(tmp_path / "take.flac"))
+    e.advance(0.5)
+    e.stop_recording()
+    dec, rate = runtime.decode_file(str(tmp_path / "take.flac"))
+    assert rate == SR
+    # Whole buffers only: advance(0.5) at 44.1k/1024 = 21 slots.
+    assert len(dec) == (int(0.5 * SR) // 1024) * 1024
+    # The recorder taps the conditioned (reducer+AGC) stream; correlation
+    # with the raw source stays near 1 even though the gain differs.
+    n = min(len(dec), len(tone))
+    assert np.corrcoef(dec[:n], tone[:n])[0, 1] > 0.98
+
+    with pytest.raises(AudioEngineError, match="no encoder"):
+        e.start_recording(str(tmp_path / "take.bogusext"))
+
+
 def test_cli_loader_decodes_flac(tmp_path, tone):
     from audio_analyzer_rs_tpu.cli import _load_mono
     path = str(tmp_path / "t.flac")
