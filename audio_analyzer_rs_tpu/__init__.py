@@ -29,9 +29,16 @@ def __getattr__(name):
     if name == "AudioEngine":
         from .api.engine import AudioEngine
         return AudioEngine
-    if name == "analyze_buffer":
-        from .analysis import analyze_buffer
-        return analyze_buffer
+    if name in ("analyze_buffer", "AnalysisResult", "AnalysisArrays",
+                "FrameFeatures"):
+        from . import analysis
+        return getattr(analysis, name)
+    if name in ("segmented_pitch_analysis", "segmented_onset_analysis"):
+        from .models import segmented
+        return getattr(segmented, name)
+    if name in ("decode_file", "encode_file", "decode_available"):
+        from . import runtime
+        return getattr(runtime, name)
     if name == "PitchAnalyzer":
         from .models.analyzer import PitchAnalyzer
         return PitchAnalyzer

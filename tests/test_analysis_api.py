@@ -26,6 +26,30 @@ def test_analyze_buffer_full_struct():
     assert isinstance(d[0]["stable_pitches"], list)
 
 
+def test_analyze_buffer_as_arrays_matches_structs():
+    x = gen.tone_with_harmonics(220.0, 1.0, SR, harmonics=8, amplitude=0.4)
+    res = aat.analyze_buffer(x, SR)
+    arr = aat.analyze_buffer(x, SR, as_arrays=True)
+    n = len(res.frames)
+    assert arr.rms.shape == (n,)
+    assert arr.stable_freqs.shape == (n, 8)
+    for i in (0, n // 2, n - 1):
+        f = res.frames[i]
+        assert arr.rms[i] == np.float32(f.rms)
+        assert arr.yin_f0_hz[i] == np.float32(f.yin_f0_hz)
+        assert arr.time_s[i] == np.float32(f.time_s)
+        stable = [(float(a), float(b)) for a, b, v in
+                  zip(arr.stable_freqs[i], arr.stable_scores[i],
+                      arr.stable_valid[i]) if v]
+        assert stable == f.stable_pitches
+    assert arr.onsets == res.onsets
+    np.testing.assert_array_equal(arr.spectrogram, res.spectrogram)
+
+    empty = aat.analyze_buffer(np.zeros(100, np.float32), SR, as_arrays=True)
+    assert empty.rms.shape == (0,)
+    assert empty.spectrogram.shape == (0, 1025)
+
+
 def test_analyze_buffer_short_audio():
     res = aat.analyze_buffer(np.zeros(100, np.float32), SR)
     assert res.frames == [] and len(res.onsets) == 0
