@@ -113,6 +113,24 @@ def test_poll_onsets_json_format():
     assert onset.poll_onsets() == "[]"
 
 
+@pytest.mark.parametrize("rate,buf", [(16000.0, 256), (88200.0, 2048)])
+def test_engine_at_other_buffer_geometries(rate, buf):
+    """Non-default (rate, buffer) combos exercise chunk-geometry paths:
+    sub-window buffers must accumulate in the analyzer tails, and
+    larger-than-onset-window buffers must not double-consume frames."""
+    tone = gen.tone_with_harmonics(220.0, 1.3, rate, harmonics=5,
+                                   amplitude=0.3)
+    e = AudioEngine(input_source=ArraySource(tone), sample_rate=rate,
+                    buffer_size=buf)
+    tuner = e.start_tuner()
+    e.start_onset_detection()
+    e.advance(1.2)
+    out = json.loads(tuner.poll_output())
+    assert "A3" in out["notes"], (rate, buf, out)
+    dyn = json.loads(e.poll_dynamics())
+    assert np.isfinite(dyn["rms_db"])
+
+
 @pytest.mark.parametrize("rate", [22050.0, 44100.0, 96000.0])
 def test_engine_at_other_sample_rates(rate):
     """The reference adapts to whatever rate the device reports
