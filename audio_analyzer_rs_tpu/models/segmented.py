@@ -79,6 +79,21 @@ def _vmapped_step_resident(nf_states, tr_states, seg_streams, offset,
     return jax.vmap(one)(nf_states, tr_states, chunks, global_floor, onsets)
 
 
+def _snap_to_mesh(segments: int, mesh) -> int:
+    """Sharding needs the segment axis divisible by the mesh; snap down
+    (at minimum one segment per device)."""
+    if mesh is None:
+        return segments
+    return max((segments // mesh.size) * mesh.size, mesh.size)
+
+
+def _shard_batch(tree, mesh):
+    """Shard every leaf's leading (segment) axis across a 1-D mesh."""
+    from ..parallel.mesh import batch_sharding
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
 def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              segments: int = 16,
                              warmup_frames: int = DEFAULT_WARMUP_FRAMES,
@@ -86,11 +101,17 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
                              backend: str = "dft",
-                             global_floor_db: float = -96.0):
+                             global_floor_db: float = -96.0,
+                             mesh=None):
     """Analyze one long mono buffer with S parallel segments.
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
     covering all N frames of the recording, in order.
+
+    With `mesh` (a 1-D jax.sharding.Mesh) the segment axis is sharded
+    across its devices — one recording fans out over the whole chip fleet
+    (segments should be a multiple of the device count); jit partitions the
+    vmapped step SPMD with no cross-device collectives on the hot path.
     """
     audio = np.asarray(audio, dtype=np.float32)
     n_total = num_frames(len(audio), window, hop)
@@ -103,6 +124,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     # the first `warmup` outputs.  Payload split:
     #   seg 0 owns frames [0, L); seg s>=1 owns [L + (s-1)P, L + sP).
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
+    segments = _snap_to_mesh(segments, mesh)
     payload = -(-max(n_total - warmup_frames, 1) // segments)
     payload = -(-payload // chunk_frames) * chunk_frames   # chunk multiple
     stream_len = warmup_frames + payload
@@ -144,6 +166,9 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
 
     gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
     onsets = jnp.zeros((segments, chunk_frames), bool)
+    if mesh is not None:
+        seg_streams, nf_states, tr_states, gf, onsets = _shard_batch(
+            (seg_streams, nf_states, tr_states, gf, onsets), mesh)
 
     # All steps are queued back-to-back with outputs kept device-resident;
     # one readback at the end.  Per-step np.asarray would synchronize every
@@ -194,13 +219,16 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
                              window: int = ONSET_WINDOW,
                              hop: int = ONSET_HOP,
                              backend: str = "dft",
-                             global_floor_db: float = -96.0):
+                             global_floor_db: float = -96.0,
+                             mesh=None):
     """Segment-parallel offline onset detection over one long mono buffer.
 
     Same warmup-overlap scheme as `segmented_pitch_analysis`; segment 0 is
     bit-identical to the sequential run.  Returns
     (fired [N] bool, velocity [N] f32, flux [N] f32, energy [N] f32)
     for all N = num_frames(len(audio)) onset frames, in order.
+    With `mesh`, segments shard across the device fleet (see
+    segmented_pitch_analysis).
     """
     audio = np.asarray(audio, dtype=np.float32)
     n_total = num_frames(len(audio), window, hop)
@@ -209,6 +237,7 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
         return np.zeros(0, bool), z, z.copy(), z.copy()
 
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
+    segments = _snap_to_mesh(segments, mesh)
     payload = -(-max(n_total - warmup_frames, 1) // segments)
     payload = -(-payload // chunk_frames) * chunk_frames
     stream_len = warmup_frames + payload
@@ -250,6 +279,9 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
     ts = jnp.zeros((segments, chunk_frames), bool)
     hold = jnp.zeros((segments, chunk_frames), bool)
+    if mesh is not None:
+        seg_streams, states, gf, ts, hold = _shard_batch(
+            (seg_streams, states, gf, ts, hold), mesh)
 
     step_outs = []
     for step in range(steps):

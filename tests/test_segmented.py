@@ -108,6 +108,30 @@ def test_segmented_onset_matches_sequential():
                                   np.asarray(out.velocity)[:first_seg])
 
 
+def test_segmented_multichip_mesh():
+    """Segment axis sharded over the 8-device virtual mesh: identical output
+    to the single-device run (SPMD partitioning of the vmapped step)."""
+    from audio_analyzer_rs_tpu.parallel.mesh import make_mesh
+
+    x = melody(30.0)   # long enough that both runs settle on 8 segments
+    mesh = make_mesh()
+    assert mesh.size == 8
+    ref = segmented_pitch_analysis(x, SR, segments=8, warmup_frames=128,
+                                   chunk_frames=256)
+    got = segmented_pitch_analysis(x, SR, segments=8, warmup_frames=128,
+                                   chunk_frames=256, mesh=mesh)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    xo = percussive(20.0)
+    ref_o = segmented_onset_analysis(xo, SR, segments=8, warmup_frames=256,
+                                     chunk_frames=1024)
+    got_o = segmented_onset_analysis(xo, SR, segments=8, warmup_frames=256,
+                                     chunk_frames=1024, mesh=mesh)
+    for a, b in zip(ref_o, got_o):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_segmented_onset_empty():
     fired, vel, flux, energy = segmented_onset_analysis(
         np.zeros(100, np.float32), SR)
