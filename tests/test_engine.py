@@ -113,6 +113,24 @@ def test_poll_onsets_json_format():
     assert onset.poll_onsets() == "[]"
 
 
+def test_consumer_handle_churn(tmp_path):
+    """Create/stop cycles must recycle handles without leaking consumers
+    (the reference recycles worker handles 0..255 via the reducer remove
+    channel, ref stft.rs:138-144)."""
+    tone = gen.tone_with_harmonics(220.0, 60.0, SR, harmonics=4,
+                                   amplitude=0.3)
+    e = AudioEngine(input_source=ArraySource(tone), sample_rate=SR)
+    for i in range(30):
+        e.start_tuner(); e.advance(0.05); e.stop_tuner()
+        e.start_onset_detection(); e.advance(0.05); e.stop_onset_detection()
+        e.start_recording(str(tmp_path / f"churn_{i % 2}.wav"))
+        e.advance(0.05); e.stop_recording()
+    assert len(e._consumers) == 0
+    t = e.start_tuner()
+    e.advance(1.0)
+    assert "A3" in json.loads(t.poll_output())["notes"]
+
+
 @pytest.mark.parametrize("rate,buf", [(16000.0, 256), (88200.0, 2048)])
 def test_engine_at_other_buffer_geometries(rate, buf):
     """Non-default (rate, buffer) combos exercise chunk-geometry paths:
