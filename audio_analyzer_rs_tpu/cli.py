@@ -8,8 +8,10 @@ pretty-print).  This CLI drives the same flows hardware-free through the
 virtual device — deterministically, from files.
 
 Usage:
-  python -m audio_analyzer_rs_tpu.cli tuner <wav>
-  python -m audio_analyzer_rs_tpu.cli onset <wav>
+  python -m audio_analyzer_rs_tpu.cli tuner <audio>
+  python -m audio_analyzer_rs_tpu.cli onset <audio>
+  python -m audio_analyzer_rs_tpu.cli analyze <audio> [out.jsonl]
+      [--segments N]    # bulk offline analysis -> JSONL per-frame features
   python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
   python -m audio_analyzer_rs_tpu.cli met <bpm> <seconds> <out.wav>
   python -m audio_analyzer_rs_tpu.cli synth <midi> <out.wav> [instrument]
@@ -76,6 +78,53 @@ def cmd_onset(path: str) -> None:
         print(f"  beat {ev['beat_position']:8.3f} "
               f"(~{ev['beat_position'] / bps:6.3f}s) "
               f"velocity {ev['velocity']:.2f}")
+
+
+def cmd_analyze(path: str, out_path: str | None = None,
+                segments: int = 1) -> None:
+    """Bulk offline analysis → JSONL (one line per frame + one onset list).
+
+    --segments N uses the segment-parallel pipelines for the stable pitches
+    and onsets (the TPU bulk path; ~>99% frame agreement with sequential).
+    """
+    import numpy as np
+
+    from . import analysis
+    from .models.segmented import (segmented_onset_analysis,
+                                   segmented_pitch_analysis)
+
+    audio, sr = _load_mono(path)
+    arr = analysis.analyze_buffer(audio, sr, as_arrays=True)
+    if segments > 1:
+        sf, ss, sv = segmented_pitch_analysis(audio, sr, segments=segments)
+        arr.stable_freqs, arr.stable_scores, arr.stable_valid = sf, ss, sv
+        fired, vel, _, _ = segmented_onset_analysis(audio, sr,
+                                                    segments=segments)
+        arr.onsets = [
+            {"time_s": (int(i) * 64 + 128) / sr, "frame": int(i),
+             "velocity": float(vel[i])} for i in np.flatnonzero(fired)]
+    sink = open(out_path, "w") if out_path else sys.stdout
+    try:
+        sink.write(json.dumps({"sample_rate": sr, "frames": len(arr.rms),
+                               "onsets": arr.onsets}) + "\n")
+        for i in range(len(arr.rms)):
+            stable = [[float(f), float(s)] for f, s, v in
+                      zip(arr.stable_freqs[i], arr.stable_scores[i],
+                          arr.stable_valid[i]) if v]
+            sink.write(json.dumps({
+                "t": round(float(arr.time_s[i]), 4),
+                "rms": float(arr.rms[i]),
+                "centroid_hz": round(float(arr.centroid_hz[i]), 1),
+                "rolloff_hz": round(float(arr.rolloff_hz[i]), 1),
+                "flux": float(arr.flux[i]),
+                "yin_f0_hz": round(float(arr.yin_f0_hz[i]), 2),
+                "yin_voiced": bool(arr.yin_voiced[i]),
+                "stable_pitches": stable}) + "\n")
+    finally:
+        if out_path:
+            sink.close()
+            print(f"wrote {len(arr.rms)} frames to {out_path}",
+                  file=sys.stderr)
 
 
 def cmd_rec(in_path: str, out_path: str) -> None:
@@ -245,10 +294,22 @@ def main(argv=None) -> None:
         else:
             pos.append(args[i])
             i += 1
+    try:
+        _dispatch(cmd, pos, kwargs)
+    except IndexError:
+        print(f"error: missing argument(s) for '{cmd}' — see usage:\n")
+        print(__doc__)
+        sys.exit(2)
+
+
+def _dispatch(cmd, pos, kwargs) -> None:
     if cmd == "tuner":
         cmd_tuner(pos[0])
     elif cmd == "onset":
         cmd_onset(pos[0])
+    elif cmd == "analyze":
+        cmd_analyze(pos[0], pos[1] if len(pos) > 1 else None,
+                    segments=int(kwargs.get("segments", 1)))
     elif cmd == "rec":
         cmd_rec(pos[0], pos[1])
     elif cmd == "met":

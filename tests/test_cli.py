@@ -63,3 +63,26 @@ def test_cli_practice_full_flow(midi_file, capsys):
 def test_cli_unknown_command_exits(capsys):
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+def test_cli_missing_args_usage(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["analyze"])
+    assert "missing argument" in capsys.readouterr().out
+
+
+def test_cli_analyze_jsonl(tmp_path, capsys):
+    import json as json_mod
+
+    path = str(tmp_path / "tone.wav")
+    x = gen.tone_with_harmonics(220.0, 2.0, 44100.0, harmonics=6,
+                                amplitude=0.35)
+    wav.write_wav(path, x, 44100)
+    out_path = str(tmp_path / "out.jsonl")
+    cli.main(["analyze", path, out_path, "--segments", "2"])
+    lines = [json_mod.loads(l) for l in open(out_path)]
+    header, frames = lines[0], lines[1:]
+    assert header["frames"] == len(frames)
+    mid = frames[len(frames) // 2]
+    assert abs(mid["yin_f0_hz"] - 220.0) < 2.0 and mid["yin_voiced"]
+    assert any(abs(p[0] - 220.3) < 1 for p in mid["stable_pitches"])
