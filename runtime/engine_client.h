@@ -1,0 +1,52 @@
+/* C embedding client for the audio_analyzer_rs_tpu engine.
+ *
+ * The reference exposes its engine to Swift/Kotlin via uniffi-generated
+ * bindings (ref src/lib.rs + Cargo `bindgen` feature).  The equivalent
+ * boundary here is the newline-delimited JSON-RPC server
+ * (audio_analyzer_rs_tpu/api/rpc.py); this client spawns it as a child
+ * process and gives C/C++ hosts a typed-enough handle: send any method,
+ * get the raw JSON result back.
+ *
+ * All functions return 0 on success, -1 on failure (see engine_last_error).
+ * Responses are NUL-terminated JSON of the "result" value, written into the
+ * caller's buffer (truncated if too small — an engine poll payload is well
+ * under 4 KiB).
+ */
+#ifndef AUDIO_ANALYZER_ENGINE_CLIENT_H
+#define AUDIO_ANALYZER_ENGINE_CLIENT_H
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct EngineClient EngineClient;
+
+/* Spawn the RPC server (argv override optional; NULL = default
+ * "python3 -m audio_analyzer_rs_tpu.api.rpc" resolved via PATH with the
+ * current working directory on PYTHONPATH). */
+EngineClient* engine_client_spawn(const char* python_exe,
+                                  const char* repo_root);
+
+/* Call `method` with raw JSON `params_json` (e.g. "[1.5]", "[]", or NULL
+ * for no params).  The result JSON (or error message) lands in out. */
+int engine_client_call(EngineClient* c, const char* method,
+                       const char* params_json,
+                       char* out, size_t out_len);
+
+/* Push raw mono float32 samples to the virtual input (base64'd for you). */
+int engine_client_push_audio(EngineClient* c, const float* samples,
+                             size_t n);
+
+/* Last error message (valid until the next call on this client). */
+const char* engine_client_last_error(const EngineClient* c);
+
+/* Send "quit" and reap the child. */
+void engine_client_close(EngineClient* c);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* AUDIO_ANALYZER_ENGINE_CLIENT_H */

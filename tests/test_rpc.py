@@ -70,6 +70,34 @@ def test_rpc_errors_surface():
     assert "unknown method" in resp["error"]
 
 
+def test_c_embedding_client():
+    """Build and run the C embedding client demo (the uniffi-bindgen
+    analog): C synthesizes a tone, pushes it over the RPC boundary, and the
+    tuner must hear A3; double-start must surface 'Already active'."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("cc") is None:
+        pytest.skip("no C compiler")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rt = os.path.join(repo, "runtime")
+    subprocess.run(["make", "-C", rt, "client"], check=True,
+                   capture_output=True, timeout=120)
+    env = dict(os.environ)
+    # The engine child must run analyzers on CPU inside the test env: drop
+    # any site hooks that pin a remote backend and select cpu explicitly.
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([os.path.join(rt, "engine_client_demo"), repo],
+                          capture_output=True, text=True, timeout=600,
+                          env=env)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert '"pong"' in proc.stdout
+    assert "A3" in proc.stdout
+    assert "Already active" in proc.stdout
+
+
 def test_rpc_stdio_roundtrip():
     s = RpcServer()
     stdin = io.StringIO(
