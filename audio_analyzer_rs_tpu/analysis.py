@@ -17,7 +17,8 @@ import numpy as np
 
 from .models.analyzer import OnsetAnalyzer, PitchAnalyzer
 from .ops.features import feature_pack
-from .ops.stft import ONSET_HOP, ONSET_WINDOW, PITCH_HOP, PITCH_WINDOW
+from .ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW, PITCH_HOP,
+                       PITCH_WINDOW)
 from .ops.yin import yin_pitch
 from .utils.framing import frame_signal
 
@@ -74,7 +75,7 @@ class AnalysisArrays:
 
 
 def analyze_buffer(audio: np.ndarray, sample_rate: float,
-                   backend: str = "dft",
+                   backend: str = DEFAULT_BACKEND,
                    global_floor_db: float = -96.0,
                    as_arrays: bool = False):
     """Analyze a mono float32 buffer with the full TPU pipeline.

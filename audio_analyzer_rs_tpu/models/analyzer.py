@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import noisefloor, onset as onset_ops, pitch as pitch_ops, tracker
-from ..ops.stft import PITCH_HOP, PITCH_WINDOW, ONSET_HOP, ONSET_WINDOW, windowed_mags
+from ..ops.stft import (DEFAULT_BACKEND, PITCH_HOP, PITCH_WINDOW,
+                        ONSET_HOP, ONSET_WINDOW, windowed_mags)
 from ..utils.framing import frame_signal, num_frames
 
 
@@ -39,7 +40,7 @@ class PitchChunkOut(NamedTuple):
                                    "return_floor"))
 def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
                          sample_rate: float, window: int = PITCH_WINDOW,
-                         hop: int = PITCH_HOP, backend: str = "dft",
+                         hop: int = PITCH_HOP, backend: str = DEFAULT_BACKEND,
                          return_floor: bool = False):
     """Pre-framed audio [N, window] → pitch pipeline outputs + new states."""
     mags = windowed_mags(frames, window, backend=backend)
@@ -63,7 +64,7 @@ class PitchAnalyzer:
     sample_rate: float
     window: int = PITCH_WINDOW
     hop: int = PITCH_HOP
-    backend: str = "dft"
+    backend: str = DEFAULT_BACKEND
     debug_recorder: object = None    # devtools.DebugRecorder (optional)
     _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
@@ -133,7 +134,7 @@ class OnsetChunkOut(NamedTuple):
 @partial(jax.jit, static_argnames=("window", "backend"))
 def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
                          calibration_hold=None,
-                         window: int = ONSET_WINDOW, backend: str = "dft"):
+                         window: int = ONSET_WINDOW, backend: str = DEFAULT_BACKEND):
     mags = windowed_mags(frames, window, backend=backend)
     state, out = onset_ops.onset_scan(state, mags, global_floor,
                                       tick_suppressed, calibration_hold)
@@ -147,7 +148,7 @@ class OnsetAnalyzer:
     sample_rate: float
     window: int = ONSET_WINDOW
     hop: int = ONSET_HOP
-    backend: str = "dft"
+    backend: str = DEFAULT_BACKEND
     _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
     def __post_init__(self):

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import noisefloor, onset as onset_ops, tracker
-from ..ops.stft import ONSET_HOP, ONSET_WINDOW, PITCH_HOP, PITCH_WINDOW
+from ..ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW,
+                        PITCH_HOP, PITCH_WINDOW)
 from ..utils.framing import frame_signal, num_frames
 from .analyzer import onset_analyze_frames, pitch_analyze_frames
 
@@ -100,7 +101,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              chunk_frames: int = 1024,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
-                             backend: str = "dft",
+                             backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None):
     """Analyze one long mono buffer with S parallel segments.
@@ -218,7 +219,7 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
                              chunk_frames: int = 4096,
                              window: int = ONSET_WINDOW,
                              hop: int = ONSET_HOP,
-                             backend: str = "dft",
+                             backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None):
     """Segment-parallel offline onset detection over one long mono buffer.

@@ -3,13 +3,15 @@
 Replaces the reference's realfft/rustfft wrapper (ref src/dsp/fft.rs:1-102).
 Two device backends:
 
-* ``dft``  — GEMM-native rDFT: `frames[N, W] @ trig[W, 2H]` on the MXU, then a
-  fused square/add/sqrt.  At W=2048 this is ~75x the FLOPs of a split-radix
-  FFT, but the MXU's matmul throughput makes it far faster in wall-clock than
-  scalar-style FFT lowering, and XLA fuses the windowing multiply into the
-  operand.  fp32 with HIGHEST precision keeps |X| within ~1e-6 relative of a
-  float64 oracle (validated in tests/test_stft.py).
-* ``fft``  — `jnp.fft.rfft`, whatever lowering XLA picks for the backend.
+* ``fft``  — `jnp.fft.rfft` (XLA's native FFT lowering).  The default: on
+  TPU v5e it wins end-to-end (segmented pitch pipeline 128.8k vs 96.8k
+  frames/s over ``dft``) and compiles ~50x faster (3.4s vs 176s for the
+  2048-pt batched program); relative MSE vs a float64 oracle is ~3e-14.
+* ``dft``  — GEMM-native rDFT: `frames[N, W] @ trig[W, 2H]` on the MXU, then
+  a fused square/add/sqrt.  At W=2048 this is ~75x the FLOPs of a split-radix
+  FFT; fp32 with HIGHEST precision keeps |X| within ~3e-14 relative MSE of a
+  float64 oracle (validated in tests/test_stft.py).  Kept as a
+  cross-validation twin and for backends with weak FFT lowering.
 
 Both return magnitude spectra `[..., W//2+1]` matching `Complex::norm()`.
 """
@@ -21,6 +23,10 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Measured on TPU v5e (see module docstring): jnp.fft wins wall-clock and
+# compile time at both analysis window sizes while matching fidelity.
+DEFAULT_BACKEND = "fft"
 
 
 def hann_window(n: int) -> np.ndarray:
@@ -45,7 +51,7 @@ def _rdft_trig(n: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("backend",))
-def rfft_mag(frames: jax.Array, backend: str = "dft") -> jax.Array:
+def rfft_mag(frames: jax.Array, backend: str = DEFAULT_BACKEND) -> jax.Array:
     """Magnitude spectrum of real frames: [..., W] → [..., W//2+1] float32."""
     n = frames.shape[-1]
     half = n // 2 + 1
@@ -63,7 +69,7 @@ def rfft_mag(frames: jax.Array, backend: str = "dft") -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("backend",))
-def rfft_complex(frames: jax.Array, backend: str = "dft"):
+def rfft_complex(frames: jax.Array, backend: str = DEFAULT_BACKEND):
     """(re, im) of the rDFT — for callers that need phase (e.g. inverse)."""
     n = frames.shape[-1]
     half = n // 2 + 1

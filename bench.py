@@ -109,13 +109,13 @@ def main():
     gf_b = jnp.full((segs, chunk_frames), 1e-3, jnp.float32)
     on_b = jnp.zeros((segs, chunk_frames), bool)
     nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
-                                     sr, window, hop, "dft")
+                                     sr, window, hop, "fft")
     _ = np.asarray(outb.stable_valid).sum()
     seg_iters = max(n_chunks // segs, 4)
     t0 = time.perf_counter()
     for _ in range(seg_iters):
         nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
-                                         sr, window, hop, "dft")
+                                         sr, window, hop, "fft")
     _ = np.asarray(outb.stable_valid).sum()
     dt = time.perf_counter() - t0
     fps = seg_iters * segs * chunk_frames / dt
