@@ -40,3 +40,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Every XLA:CPU compile mmaps JIT code regions that live as long as the
+# compiled executable.  Across a full-suite process the ~240 tests' programs
+# accumulate several tens of thousands of mappings and eventually exhaust the
+# kernel's vm.max_map_count (default 65530), at which point the *next* mmap
+# inside jaxlib fails and the process segfaults — always late in the run, in
+# whatever happened to compile/(de)serialize next (historically test_yin.py,
+# simply because it sorts last).  Dropping compiled executables after each
+# test module keeps the process's mapping count bounded; the on-disk
+# persistent cache makes the cross-module recompiles this forces cheap.
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mappings():
+    yield
+    jax.clear_caches()
