@@ -4,9 +4,10 @@ A brand-new JAX/XLA/Pallas audio-analysis framework with the capabilities of the
 Rust realtime music-practice engine (reference: /root/reference, crate
 `audio_engine`).  The reference's per-sample Rust loops become batched tensor
 programs over `[frames, ...]` with `jax.lax.scan` carrying the sequential state
-(noise floors, trackers, AGC histories); the hot windowing+FFT inner loop runs
-as an MXU matmul (GEMM-native rDFT); multi-chip scale-out is data-parallel
-sharding of the frame/batch axis over a `jax.sharding.Mesh`.
+(noise floors, trackers, AGC histories); the hot windowing+FFT inner loop has
+three device backends (`jnp.fft` default, GEMM-native MXU rDFT, fused Pallas);
+multi-chip scale-out is data-parallel sharding of the frame/batch axis over a
+`jax.sharding.Mesh`.
 
 Layer map (mirrors SURVEY.md §1/§7):
   ops/       device kernels: fft, stft, features, pitch, onset, noisefloor,

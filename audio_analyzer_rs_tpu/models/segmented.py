@@ -40,7 +40,8 @@ DEFAULT_ONSET_WARMUP_FRAMES = 512
 
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
 def _vmapped_step(nf_states, tr_states, audio_chunks, global_floor, onsets,
-                  sample_rate: float, window: int, hop: int, backend: str):
+                  sample_rate: float, window: int, hop: int,
+                  backend: str = DEFAULT_BACKEND):
     def one(nf, tr, audio, gf, on):
         frames = frame_signal(audio, window, hop)
         return pitch_analyze_frames(nf, tr, frames, gf, on, sample_rate,

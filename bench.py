@@ -1,9 +1,10 @@
 """Headline benchmark: pitch STFT+feature frames/sec/chip on 44.1 kHz mono.
 
-Runs the flagship pitch pipeline (frame → Hann x rDFT magnitude on the MXU →
+Runs the flagship pitch pipeline (frame → Hann window × rFFT magnitude →
 per-bin noise-floor scan → harmonic-comb pitch extraction → tracker scan) on
 the real TPU chip over 1 hour of synthesized 44.1 kHz mono audio, streamed in
-fixed-size chunks with state carry.
+fixed-size chunks with state carry.  FFT backend: jnp.fft (the package
+default; see ops/fft.py for the measured comparison vs the GEMM-native rDFT).
 
 Baseline: the Rust reference is realtime by construction (86.13 frames/s at
 window 2048 / hop 512, ref src/audio_io/stft.rs:169-171); the north star is
@@ -95,42 +96,52 @@ def main():
     # ── segment-parallel mode (models/segmented.py): the same 1-hour file
     # split into 16 contiguous segments analyzed in parallel with 256-frame
     # warmup overlap; >99% frame agreement with the sequential run is
-    # verified in tests/test_segmented.py.
-    from audio_analyzer_rs_tpu.models.segmented import _vmapped_step
-    from audio_analyzer_rs_tpu.ops import noisefloor as nf_mod, tracker as tr_mod
-    segs = 16
+    # verified in tests/test_segmented.py.  Guarded so a failure here (e.g.
+    # an HBM regression) still reports the single-stream number.
+    fps = None
+    try:
+        from audio_analyzer_rs_tpu.models.segmented import _vmapped_step
+        from audio_analyzer_rs_tpu.ops import (noisefloor as nf_mod,
+                                               tracker as tr_mod)
+        segs = 16
 
-    def repl(state):
-        return jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (segs,) + a.shape), state)
-    nf_b = repl(nf_mod.init_state(window // 2 + 1))
-    tr_b = repl(tr_mod.init_state())
-    audio_b = jnp.broadcast_to(audio, (segs,) + audio.shape)
-    gf_b = jnp.full((segs, chunk_frames), 1e-3, jnp.float32)
-    on_b = jnp.zeros((segs, chunk_frames), bool)
-    nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
-                                     sr, window, hop, "fft")
-    _ = np.asarray(outb.stable_valid).sum()
-    seg_iters = max(n_chunks // segs, 4)
-    t0 = time.perf_counter()
-    for _ in range(seg_iters):
+        def repl(state):
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (segs,) + a.shape), state)
+        nf_b = repl(nf_mod.init_state(window // 2 + 1))
+        tr_b = repl(tr_mod.init_state())
+        audio_b = jnp.broadcast_to(audio, (segs,) + audio.shape)
+        gf_b = jnp.full((segs, chunk_frames), 1e-3, jnp.float32)
+        on_b = jnp.zeros((segs, chunk_frames), bool)
         nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
-                                         sr, window, hop, "fft")
-    _ = np.asarray(outb.stable_valid).sum()
-    dt = time.perf_counter() - t0
-    fps = seg_iters * segs * chunk_frames / dt
-    log(f"segment-parallel x{segs}: {seg_iters} steps in {dt:.2f}s -> "
-        f"{fps:,.0f} frames/s ({fps * hop / sr:,.0f}x realtime); "
-        f"full 1h would take {total_frames_target / fps:.2f}s")
+                                         sr, window, hop)
+        _ = np.asarray(outb.stable_valid).sum()
+        seg_iters = max(n_chunks // segs, 4)
+        t0 = time.perf_counter()
+        for _ in range(seg_iters):
+            nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
+                                             sr, window, hop)
+        _ = np.asarray(outb.stable_valid).sum()
+        dt = time.perf_counter() - t0
+        fps = seg_iters * segs * chunk_frames / dt
+        log(f"segment-parallel x{segs}: {seg_iters} steps in {dt:.2f}s -> "
+            f"{fps:,.0f} frames/s ({fps * hop / sr:,.0f}x realtime); "
+            f"full 1h would take {total_frames_target / fps:.2f}s")
+    except Exception as e:                                # pragma: no cover
+        log(f"segment-parallel mode failed ({e!r}); "
+            f"reporting single-stream only")
 
     baseline_fps = 100.0 * sr / hop   # north star: 100x realtime
+    best = fps if fps else fps_single
+    seg_note = (" 16 parallel segments w/ 256-frame warmup, >99% agreement;"
+                f" single-stream {fps_single:,.0f}" if fps else
+                " single stream")
     print(json.dumps({
         "metric": "pitch_pipeline_frames_per_sec_per_chip",
-        "value": round(fps, 1),
+        "value": round(best, 1),
         "unit": ("frames/s (window 2048, hop 512, 44.1kHz mono; STFT+noise"
-                 "floor+pitch+tracker; 16 parallel segments w/ 256-frame "
-                 f"warmup, >99% agreement; single-stream {fps_single:,.0f})"),
-        "vs_baseline": round(fps / baseline_fps, 2),
+                 f"floor+pitch+tracker;{seg_note})"),
+        "vs_baseline": round(best / baseline_fps, 2),
     }))
 
 
