@@ -30,8 +30,8 @@ def __getattr__(name):
     if name == "AudioEngine":
         from .api.engine import AudioEngine
         return AudioEngine
-    if name in ("analyze_buffer", "AnalysisResult", "AnalysisArrays",
-                "FrameFeatures"):
+    if name in ("analyze_buffer", "analyze_buffer_segmented",
+                "AnalysisResult", "AnalysisArrays", "FrameFeatures"):
         from . import analysis
         return getattr(analysis, name)
     if name in ("segmented_pitch_analysis", "segmented_onset_analysis"):

@@ -18,9 +18,9 @@ import numpy as np
 from .models.analyzer import OnsetAnalyzer, PitchAnalyzer
 from .ops.features import feature_pack
 from .ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW, PITCH_HOP,
-                       PITCH_WINDOW)
+                       PITCH_WINDOW, windowed_mags)
 from .ops.yin import yin_pitch
-from .utils.framing import frame_signal
+from .utils.framing import frame_signal, num_frames
 
 
 @dataclass
@@ -100,10 +100,12 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
     frames: List[FrameFeatures] = []
     feats = yin = None
     if n:
-        f = np.asarray(frame_signal(jnp.asarray(audio), PITCH_WINDOW, PITCH_HOP))
+        # Device-resident: framing is a cheap gather; never pull the
+        # [N, window] expansion to host.
+        f = frame_signal(jnp.asarray(audio), PITCH_WINDOW, PITCH_HOP)
         feats = jax.tree.map(np.asarray, feature_pack(
-            jnp.asarray(f), jnp.asarray(out.mags), sample_rate, PITCH_WINDOW))
-        yin = jax.tree.map(np.asarray, yin_pitch(jnp.asarray(f), sample_rate))
+            f, jnp.asarray(out.mags), sample_rate, PITCH_WINDOW))
+        yin = jax.tree.map(np.asarray, yin_pitch(f, sample_rate))
 
     if as_arrays:
         def z(shape=(0,), dt=np.float32):
@@ -152,3 +154,105 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
                                               np.float32)
     return AnalysisResult(sample_rate=sample_rate, frames=frames,
                           spectrogram=spectrogram, onsets=onsets)
+
+
+def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
+                             segments: int = 16,
+                             backend: str = DEFAULT_BACKEND,
+                             global_floor_db: float = -96.0,
+                             feature_chunk_frames: int = 8192
+                             ) -> AnalysisArrays:
+    """Columnar bulk analysis via the segment-parallel pipelines.
+
+    The TPU bulk path for long recordings: stable pitches and onsets come
+    from `models.segmented` (S parallel device-resident scan streams, >99%
+    frame agreement with the sequential analyzers — the only stages that
+    carry sequential state), while the feature pack, spectrogram, and YIN
+    f0 are computed batched in bounded-memory chunks.  Raw
+    (pre-hysteresis) pitch candidates are not produced in this mode:
+    `raw_*` arrays are empty.  ~Sx faster than `analyze_buffer` on
+    hour-scale audio.
+    """
+    import jax.numpy as jnp
+
+    from .models.segmented import (segmented_onset_analysis,
+                                   segmented_pitch_analysis)
+
+    audio = np.asarray(audio, dtype=np.float32)
+    n = num_frames(len(audio), PITCH_WINDOW, PITCH_HOP)
+
+    fired, vel, _, _ = segmented_onset_analysis(
+        audio, sample_rate, segments=segments, backend=backend,
+        global_floor_db=global_floor_db)
+    onsets = [{"time_s": (int(i) * ONSET_HOP + ONSET_WINDOW // 2)
+               / sample_rate,
+               "frame": int(i), "velocity": float(vel[i])}
+              for i in np.flatnonzero(fired)]
+
+    def z(shape=(0,), dt=np.float32):
+        return np.zeros(shape, dt)
+    if not n:
+        return AnalysisArrays(
+            sample_rate=sample_rate, time_s=z(), rms=z(), energy=z(),
+            centroid_hz=z(), rolloff_hz=z(), flux=z(), yin_f0_hz=z(),
+            yin_voiced=z(dt=bool), raw_freqs=z((0, 8)),
+            raw_scores=z((0, 8)), raw_valid=z((0, 8), bool),
+            stable_freqs=z((0, 8)), stable_scores=z((0, 8)),
+            stable_valid=z((0, 8), bool),
+            spectrogram=z((0, PITCH_WINDOW // 2 + 1)), onsets=onsets)
+
+    sf, ss, sv = segmented_pitch_analysis(
+        audio, sample_rate, segments=segments, backend=backend,
+        global_floor_db=global_floor_db)
+
+    # Stateless per-frame stages, chunked to bound device memory (an hour of
+    # audio framed at once is ~2.5 GB; YIN's padded FFT doubles that).  Each
+    # chunk after the first carries one lead frame so spectral flux stays
+    # continuous across the boundary (feature_pack's first row diffs against
+    # zeros, which is only correct for frame 0); the lead row is dropped.
+    # The last chunk is zero-padded to the common length so every chunk after
+    # the first compiles one program shape.
+    cols = {k: [] for k in ("rms", "energy", "centroid_hz", "rolloff_hz",
+                            "flux", "f0", "voiced")}
+    specs = []
+    audio_dev = jnp.asarray(audio)
+    step = feature_chunk_frames
+    for c0 in range(0, n, step):
+        c1 = min(c0 + step, n)
+        lead = 1 if c0 else 0
+        m = c1 - c0
+        s0 = (c0 - lead) * PITCH_HOP
+        s1 = s0 + (lead + step - 1) * PITCH_HOP + PITCH_WINDOW if c0 else \
+            (c1 - 1) * PITCH_HOP + PITCH_WINDOW
+        sl = audio_dev[s0:min(s1, len(audio))]
+        if c0 and s1 > len(audio):
+            sl = jnp.pad(sl, (0, s1 - len(audio)))
+        f = frame_signal(sl, PITCH_WINDOW, PITCH_HOP)
+        mags = windowed_mags(f, PITCH_WINDOW, backend=backend)
+        feats = feature_pack(f, mags, sample_rate, PITCH_WINDOW)
+        y = yin_pitch(f, sample_rate)
+        lo, hi = lead, lead + m
+        specs.append(np.asarray(mags[lo:hi]))
+        cols["rms"].append(np.asarray(feats.rms[lo:hi]))
+        cols["energy"].append(np.asarray(feats.energy[lo:hi]))
+        cols["centroid_hz"].append(np.asarray(feats.centroid_hz[lo:hi]))
+        cols["rolloff_hz"].append(np.asarray(feats.rolloff_hz[lo:hi]))
+        cols["flux"].append(np.asarray(feats.flux[lo:hi]))
+        cols["f0"].append(np.asarray(y.f0_hz[lo:hi]))
+        cols["voiced"].append(np.asarray(y.voiced[lo:hi]))
+
+    time_s = (np.arange(n) * PITCH_HOP + PITCH_WINDOW / 2) / sample_rate
+    return AnalysisArrays(
+        sample_rate=sample_rate, time_s=time_s.astype(np.float32),
+        rms=np.concatenate(cols["rms"]),
+        energy=np.concatenate(cols["energy"]),
+        centroid_hz=np.concatenate(cols["centroid_hz"]),
+        rolloff_hz=np.concatenate(cols["rolloff_hz"]),
+        flux=np.concatenate(cols["flux"]),
+        yin_f0_hz=np.concatenate(cols["f0"]),
+        yin_voiced=np.concatenate(cols["voiced"]).astype(bool),
+        raw_freqs=z((0, 8)), raw_scores=z((0, 8)),
+        raw_valid=z((0, 8), bool),
+        stable_freqs=sf, stable_scores=ss,
+        stable_valid=np.asarray(sv, bool),
+        spectrogram=np.concatenate(specs), onsets=onsets)

@@ -38,6 +38,7 @@ from ..ops.reducer import HostReducer
 from ..ops.stft import PITCH_HOP, PITCH_WINDOW
 from ..practice.session import PracticeSession as PracticeCore
 from ..practice.types import practice_mode_from_str
+from ..utils.framing import num_frames
 from ..tracing import get_logger
 from ..transport import MusicalTransport, OnsetEvent
 from ..utils.wav import quantize_i16
@@ -335,6 +336,11 @@ class _PitchConsumer:
         self.tuner_core = TunerCore()
         self.pending_outputs: List = []
         self.state = 1
+        # Input-frame position at attach: the analyzer's frame counter is
+        # consumer-relative, the transport's input_frames is engine-absolute.
+        # A consumer started after input has been running must add this or
+        # every stamped beat lags by the prior input duration.
+        self.base_input_frame = engine.transport.get_input_frames()
 
     def release_output(self) -> None:
         """Publish the next queued per-frame TunerOutput (time passing)."""
@@ -360,7 +366,8 @@ class _PitchConsumer:
         # sample where its window ended (the reference stamps with the beat
         # at thread-emission time; sample-indexed time makes that exact).
         total_in = e.transport.get_input_frames()
-        frame_end = (base + np.arange(n)) * PITCH_HOP + PITCH_WINDOW
+        frame_end = (self.base_input_frame
+                     + (base + np.arange(n)) * PITCH_HOP + PITCH_WINDOW)
         beats_per_sample = e.transport.get_bpm() / (60.0 * e.sample_rate)
         now_beat = e.transport.get_accumulated_beats()
         for i in range(n):
@@ -391,6 +398,8 @@ class _OnsetConsumer:
         # with the transport's input_frames (the reference stamps relative
         # to its live ring, so pause/resume never skews its timestamps).
         self.dropped_samples = 0
+        # Input-frame position at attach (see _PitchConsumer.base_input_frame).
+        self.base_input_frame = engine.transport.get_input_frames()
 
     def consume(self, slot: np.ndarray) -> None:
         if self.detection.state != 1:
@@ -400,14 +409,14 @@ class _OnsetConsumer:
         t = e.transport
         # Precompute per-frame tick suppression from the transport's tick
         # history (ref onset.rs:383-395 stamps then checks the history).
-        n_expected = (len(self.analyzer._tail) + len(slot) - ONSET_WINDOW) \
-            // ONSET_HOP + 1
+        n_expected = num_frames(len(self.analyzer._tail) + len(slot),
+                                ONSET_WINDOW, ONSET_HOP)
         base = self.analyzer.frames_consumed
         guard_beats = TICK_GUARD_S * t.get_bpm() / 60.0
-        tick_sup = np.zeros(max(n_expected, 0), dtype=bool)
-        for i in range(max(n_expected, 0)):
-            center = ((base + i) * ONSET_HOP + ONSET_WINDOW // 2
-                      + self.dropped_samples)
+        tick_sup = np.zeros(n_expected, dtype=bool)
+        for i in range(n_expected):
+            center = (self.base_input_frame + (base + i) * ONSET_HOP
+                      + ONSET_WINDOW // 2 + self.dropped_samples)
             ev = t.stamp_onset(center - t.get_input_frames(), 0.0)
             tick_sup[i] = (t.nearest_tick_distance_beats(ev.beat_position)
                            < guard_beats)
@@ -429,8 +438,8 @@ class _OnsetConsumer:
         for i in range(n):
             if not out.fired[i]:
                 continue
-            center = ((base + i) * ONSET_HOP + ONSET_WINDOW // 2
-                      + self.dropped_samples)
+            center = (self.base_input_frame + (base + i) * ONSET_HOP
+                      + ONSET_WINDOW // 2 + self.dropped_samples)
             offset = center - t.get_input_frames()
             event = t.stamp_onset(int(offset), float(out.velocity[i]))
             if not self.calibration_done:

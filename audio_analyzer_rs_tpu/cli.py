@@ -87,22 +87,14 @@ def cmd_analyze(path: str, out_path: str | None = None,
     --segments N uses the segment-parallel pipelines for the stable pitches
     and onsets (the TPU bulk path; ~>99% frame agreement with sequential).
     """
-    import numpy as np
-
     from . import analysis
-    from .models.segmented import (segmented_onset_analysis,
-                                   segmented_pitch_analysis)
 
     audio, sr = _load_mono(path)
-    arr = analysis.analyze_buffer(audio, sr, as_arrays=True)
     if segments > 1:
-        sf, ss, sv = segmented_pitch_analysis(audio, sr, segments=segments)
-        arr.stable_freqs, arr.stable_scores, arr.stable_valid = sf, ss, sv
-        fired, vel, _, _ = segmented_onset_analysis(audio, sr,
-                                                    segments=segments)
-        arr.onsets = [
-            {"time_s": (int(i) * 64 + 128) / sr, "frame": int(i),
-             "velocity": float(vel[i])} for i in np.flatnonzero(fired)]
+        # Segment-parallel bulk path: never runs the sequential scans.
+        arr = analysis.analyze_buffer_segmented(audio, sr, segments=segments)
+    else:
+        arr = analysis.analyze_buffer(audio, sr, as_arrays=True)
     sink = open(out_path, "w") if out_path else sys.stdout
     try:
         sink.write(json.dumps({"sample_rate": sr, "frames": len(arr.rms),

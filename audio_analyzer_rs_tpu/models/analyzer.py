@@ -95,7 +95,9 @@ class PitchAnalyzer:
             return None
         consumed = n * self.hop
         self._tail = buf[consumed:]
-        frames = np.asarray(frame_signal(jnp.asarray(buf), self.window, self.hop))
+        # Frame on device and keep the [n, window] array there — pulling it
+        # to host would round-trip a 4x-expanded copy of the audio per call.
+        frames = frame_signal(jnp.asarray(buf), self.window, self.hop)
         half = self.window // 2 + 1
         gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
                      np.float32)
@@ -106,7 +108,7 @@ class PitchAnalyzer:
             if onset_first:
                 onsets[0] = True
         self.nf_state, self.tr_state, out = pitch_analyze_frames(
-            self.nf_state, self.tr_state, jnp.asarray(frames), jnp.asarray(gf),
+            self.nf_state, self.tr_state, frames, jnp.asarray(gf),
             jnp.asarray(onsets), self.sample_rate, self.window, self.hop,
             self.backend, return_floor=self.debug_recorder is not None)
         out = jax.tree.map(np.asarray, out)
@@ -170,7 +172,7 @@ class OnsetAnalyzer:
             return None
         consumed = n * self.hop
         self._tail = buf[consumed:]
-        frames = np.asarray(frame_signal(jnp.asarray(buf), self.window, self.hop))
+        frames = frame_signal(jnp.asarray(buf), self.window, self.hop)
         half = self.window // 2 + 1
         gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
                      np.float32)
@@ -178,7 +180,7 @@ class OnsetAnalyzer:
               else np.asarray(tick_suppressed, bool)[:n])
         ch = jnp.full((n,), bool(calibration_hold))
         self.state, out = onset_analyze_frames(
-            self.state, jnp.asarray(frames), jnp.asarray(gf), jnp.asarray(ts),
+            self.state, frames, jnp.asarray(gf), jnp.asarray(ts),
             ch, self.window, self.backend)
         self.frames_consumed += n
         return jax.tree.map(np.asarray, out)

@@ -209,7 +209,11 @@ class Metronome:
                 div, counter = sub
                 sps = max(self.samples_per_beat // div, 1)
                 # Spawn at samples p where counter+p+1 reaches sps (with wrap).
-                first = sps - counter - 1
+                # A BPM raise can shrink sps below an already-accumulated
+                # counter; the reference's per-sample `counter >= sps` check
+                # then fires immediately, so clamp to "now" rather than
+                # spawning a negative delay (ref metronome.rs:334-349).
+                first = max(sps - counter - 1, 0)
                 p = first
                 while p < total_frames:
                     self.transport.notify_tick_at_frame(buffer_start_frame + p)

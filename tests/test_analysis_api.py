@@ -55,6 +55,33 @@ def test_analyze_buffer_short_audio():
     assert res.frames == [] and len(res.onsets) == 0
 
 
+def test_analyze_buffer_segmented_matches_sequential():
+    """The segmented bulk path must match the sequential columnar path: the
+    stateless stages exactly (including flux across feature-chunk
+    boundaries, which carry a lead frame), and — with few enough frames
+    that the segment count clamps to 1 — the stable/onset streams
+    bit-identically."""
+    x = gen.tone_with_harmonics(220.0, 2.0, SR, harmonics=8, amplitude=0.4)
+    click = gen.calibration_click(SR, volume=0.6)
+    x[int(1.1 * SR):int(1.1 * SR) + len(click)] += click
+    seq = aat.analyze_buffer(x, SR, as_arrays=True)
+    seg = aat.analyze_buffer_segmented(x, SR, segments=4,
+                                       feature_chunk_frames=32)
+    n = len(seq.rms)
+    assert len(seg.rms) == n and n > 64          # several feature chunks
+    for field in ("time_s", "rms", "energy", "centroid_hz", "rolloff_hz",
+                  "flux", "yin_f0_hz", "yin_voiced", "spectrogram"):
+        np.testing.assert_array_equal(
+            getattr(seg, field), getattr(seq, field), err_msg=field)
+    np.testing.assert_array_equal(seg.stable_freqs, seq.stable_freqs)
+    np.testing.assert_array_equal(seg.stable_valid, seq.stable_valid)
+    assert [o["frame"] for o in seg.onsets] == [o["frame"] for o in seq.onsets]
+    assert seg.raw_freqs.shape == (0, 8)         # not produced in this mode
+
+    empty = aat.analyze_buffer_segmented(np.zeros(100, np.float32), SR)
+    assert empty.rms.shape == (0,)
+
+
 def test_package_exports():
     assert aat.AudioEngine is not None
     assert aat.PitchAnalyzer is not None

@@ -241,6 +241,37 @@ def test_onset_detection_of_input_clicks():
     assert len(events) >= 2, events
 
 
+def test_late_started_consumers_stamp_current_beats():
+    """Consumers attached after input has been running must stamp events at
+    the live transport position, not lag by the prior input duration (the
+    analyzer frame counter is consumer-relative; positions must be anchored
+    at the attach-time input frame)."""
+    rng = np.random.default_rng(11)
+    x = gen.tone_with_harmonics(220.0, 4.0, SR, harmonics=4, amplitude=0.3)
+    x += (rng.standard_normal(len(x)) * 1e-5).astype(np.float32)
+    click = gen.calibration_click(SR, volume=0.8)
+    x[int(2.6 * SR):int(2.6 * SR) + len(click)] += click
+    e = AudioEngine(input_source=ArraySource(x))
+    e.transport.set_calibration_offset(1)
+    e.transport.set_input_latency(0)
+    e.transport.set_output_latency(0)
+    e.transport.set_bpm(120.0)
+    e.start_input()
+    e.start_output()                   # musical clock runs from t=0
+    e.advance(2.0)                     # input runs with no consumers
+    tuner = e.start_tuner()
+    onset = e.start_onset_detection()
+    e.advance(1.0)
+    # Onset at t≈2.6 s → beat ≈ 5.2 at 120 BPM (was ≈ 1.2 with the skew).
+    events = json.loads(onset.poll_onsets())
+    assert events, "expected the click to be detected"
+    assert abs(events[0]["beat_position"] - 5.2) < 0.3, events
+    # Tuner frames from the 2.0–3.0 s window → beats in [4, 6.5].
+    out = json.loads(tuner.poll_output())
+    assert out["label"], out
+    assert 3.9 < out["beat_position"] < 6.5, out
+
+
 # ── recording ────────────────────────────────────────────────────────────
 
 def test_onset_pause_resume_keeps_timestamps_aligned():

@@ -83,6 +83,22 @@ def test_metronome_subdivisions_fire_between_beats():
     assert sub_win.max() > 0.05, "expected subdivision tick between beats"
 
 
+def test_metronome_bpm_raise_with_polyrhythm_no_crash():
+    """A BPM raise can shrink samples-per-beat below a subdivision counter
+    accumulated under the old tempo; the tick must fire immediately (the
+    reference's per-sample `counter >= sps` semantics), not spawn a
+    negative-delay tick that crashes render."""
+    t = MusicalTransport(60.0, SR)
+    t.play()
+    met = Metronome(SR, t, bpm=60.0, pattern=["Strong", "Weak", "Weak", "Weak"],
+                    polys=[[2], [2], [2], [2]])
+    run_source(met, t, 60)            # ~1.3 s: counter mid-subdivision
+    met.send("SetBpm", 480.0)
+    t.set_bpm(480.0)
+    audio = run_source(met, t, 40)    # previously ValueError broadcast crash
+    assert np.isfinite(audio).all()
+
+
 def test_metronome_stop_finishes():
     t = MusicalTransport(120.0, SR)
     t.play()
