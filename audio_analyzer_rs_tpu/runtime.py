@@ -50,7 +50,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH) and not _build():
         _build_failed = True
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # Stale/corrupt .so (interrupted build, arch mismatch): the
+        # documented contract is graceful fallback, not a crash.  One
+        # rebuild attempt, then give up.
+        try:
+            os.unlink(_LIB_PATH)
+        except OSError:
+            pass
+        if not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
     c = ctypes
     lib.ring_create.restype = c.c_void_p
     lib.ring_create.argtypes = [c.c_size_t]

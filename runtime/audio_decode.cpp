@@ -71,6 +71,11 @@ float* decode_audio_file(const char* path, long long* out_n, int* out_rate,
     }
     AVStream* st = fmt->streams[sidx];
     AVCodecContext* dec = avcodec_alloc_context3(codec);
+    if (!dec) {
+        avformat_close_input(&fmt);
+        set_err(err, errlen, "codec context alloc failed");
+        return nullptr;
+    }
     avcodec_parameters_to_context(dec, st->codecpar);
     rc = avcodec_open2(dec, codec, nullptr);
     if (rc < 0) {
@@ -117,13 +122,19 @@ float* decode_audio_file(const char* path, long long* out_n, int* out_rate,
     };
 
     bool eof = false;
+    std::string read_err;
     while (!eof) {
         rc = av_read_frame(fmt, pkt);
         if (rc == AVERROR_EOF) {
             avcodec_send_packet(dec, nullptr);  // flush
             eof = true;
         } else if (rc < 0) {
-            break;
+            // A mid-file read error (corrupt/truncated container) is a
+            // failed decode, not a short success: flush what the decoder
+            // holds for accounting, then report the error.
+            read_err = "read: " + av_errstr(rc);
+            avcodec_send_packet(dec, nullptr);
+            eof = true;
         } else {
             if (pkt->stream_index == sidx) avcodec_send_packet(dec, pkt);
             av_packet_unref(pkt);
@@ -141,11 +152,19 @@ float* decode_audio_file(const char* path, long long* out_n, int* out_rate,
     avcodec_free_context(&dec);
     avformat_close_input(&fmt);
 
+    if (!read_err.empty()) {
+        set_err(err, errlen, read_err);
+        return nullptr;
+    }
     if (pcm.empty()) {
         set_err(err, errlen, "decoded zero samples");
         return nullptr;
     }
     float* out = (float*)std::malloc(pcm.size() * sizeof(float));
+    if (!out) {
+        set_err(err, errlen, "oom");
+        return nullptr;
+    }
     std::memcpy(out, pcm.data(), pcm.size() * sizeof(float));
     *out_n = (long long)pcm.size();
     *out_rate = rate;
@@ -182,7 +201,12 @@ int encode_audio_file(const char* path, const float* samples, long long n,
         return -1;
     }
     AVStream* st = avformat_new_stream(fmt, nullptr);
-    AVCodecContext* enc = avcodec_alloc_context3(codec);
+    AVCodecContext* enc = st ? avcodec_alloc_context3(codec) : nullptr;
+    if (!enc) {
+        avformat_free_context(fmt);
+        set_err(err, errlen, "encoder context alloc failed");
+        return -1;
+    }
     enc->sample_rate = rate;
     av_channel_layout_default(&enc->ch_layout, 1);
     // Prefer the highest-precision sample format the encoder offers so a
@@ -231,6 +255,7 @@ int encode_audio_file(const char* path, const float* samples, long long n,
     }
     rc = avformat_write_header(fmt, nullptr);
     if (rc < 0) {
+        if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
         avcodec_free_context(&enc);
         avformat_free_context(fmt);
         set_err(err, errlen, "write header: " + av_errstr(rc));
@@ -240,9 +265,16 @@ int encode_audio_file(const char* path, const float* samples, long long n,
     // Convert from packed FLT mono to whatever the encoder wants.
     SwrContext* swr = nullptr;
     AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-    swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt, rate, &mono,
-                        AV_SAMPLE_FMT_FLT, rate, 0, nullptr);
-    swr_init(swr);
+    rc = swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt, rate,
+                             &mono, AV_SAMPLE_FMT_FLT, rate, 0, nullptr);
+    if (rc < 0 || swr_init(swr) < 0) {
+        if (swr) swr_free(&swr);
+        if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+        avcodec_free_context(&enc);
+        avformat_free_context(fmt);
+        set_err(err, errlen, "resampler init failed");
+        return -1;
+    }
 
     const int chunk = enc->frame_size > 0 ? enc->frame_size : 4096;
     AVPacket* pkt = av_packet_alloc();
@@ -274,11 +306,17 @@ int encode_audio_file(const char* path, const float* samples, long long n,
         if (pos < n) {
             int take = (int)std::min((long long)chunk, n - pos);
             AVFrame* f = av_frame_alloc();
+            if (!f) { encerr = "frame alloc failed"; status = -1; break; }
             f->nb_samples = take;
             av_channel_layout_copy(&f->ch_layout, &enc->ch_layout);
             f->format = enc->sample_fmt;
             f->sample_rate = rate;
-            av_frame_get_buffer(f, 0);
+            if (av_frame_get_buffer(f, 0) < 0) {
+                av_frame_free(&f);
+                encerr = "frame buffer alloc failed";
+                status = -1;
+                break;
+            }
             const uint8_t* inp = (const uint8_t*)(samples + pos);
             swr_convert(swr, f->extended_data, take, &inp, take);
             f->pts = pts;

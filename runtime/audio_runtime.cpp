@@ -320,7 +320,11 @@ struct Pipeline {
     Ring* input_ring;      // filled raw slots → reducer
     Ring* consumer_ring;   // conditioned slots → consumer
     Reducer* reducer;
-    DynamicsOut latest_dyn{};
+    // Per-slot dynamics, written by the worker BEFORE the slot index is
+    // published through consumer_ring (whose release/acquire pair orders
+    // the write): each pulled slot carries its own conditioning snapshot,
+    // and there is no cross-thread race on a shared struct.
+    std::vector<DynamicsOut> slot_dyn;
     std::atomic<bool> running{true};
     std::thread worker;
 };
@@ -332,7 +336,7 @@ static void pipeline_worker(Pipeline* p) {
             DynamicsOut d;
             reducer_process(p->reducer, pool_slot_ptr(p->pool, idx),
                             p->pool->slot_len, &d);
-            p->latest_dyn = d;
+            p->slot_dyn[idx] = d;
             pool_acquire(p->pool, idx, 1);
             if (!ring_push(p->consumer_ring, idx)) {
                 if (pool_release(p->pool, idx) == 1)
@@ -352,6 +356,7 @@ Pipeline* pipeline_create(float sample_rate, size_t pool_size,
     p->input_ring = ring_create(pool_size);
     p->consumer_ring = ring_create(pool_size);
     p->reducer = reducer_create(sample_rate, slot_len);
+    p->slot_dyn.resize(pool_size);
     for (size_t i = 0; i < pool_size; i++) ring_push(p->free_ring, i);
     p->worker = std::thread(pipeline_worker, p);
     return p;
@@ -387,7 +392,7 @@ int pipeline_pull_slot(Pipeline* p, float* out, DynamicsOut* dyn) {
     if (!ring_pop(p->consumer_ring, &idx)) return 0;
     std::memcpy(out, pool_slot_ptr(p->pool, idx),
                 p->pool->slot_len * sizeof(float));
-    *dyn = p->latest_dyn;
+    *dyn = p->slot_dyn[idx];
     if (pool_release(p->pool, idx) == 1) ring_push(p->free_ring, idx);
     return 1;
 }

@@ -1,11 +1,14 @@
 /* See engine_client.h.  POSIX-only (fork/pipe), like the reference's
- * desktop targets. */
+ * desktop targets.  engine_client_spawn sets SIGPIPE to SIG_IGN for the
+ * process: writes to a dead engine must surface as EPIPE (-1 with an error
+ * message) rather than kill the embedding application. */
 
 #define _POSIX_C_SOURCE 200809L
 
 #include "engine_client.h"
 
 #include <errno.h>
+#include <fcntl.h>
 #include <signal.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -26,19 +29,38 @@ static void set_err(EngineClient* c, const char* msg) {
     snprintf(c->err, sizeof c->err, "%s", msg);
 }
 
+static void close_pair(int fds[2]) {
+    if (fds[0] >= 0) close(fds[0]);
+    if (fds[1] >= 0) close(fds[1]);
+}
+
 EngineClient* engine_client_spawn(const char* python_exe,
                                   const char* repo_root) {
-    int in_pipe[2], out_pipe[2];
-    if (pipe(in_pipe) != 0 || pipe(out_pipe) != 0) return NULL;
+    /* A write to a pipe whose reader died must not kill the host app. */
+    signal(SIGPIPE, SIG_IGN);
+
+    int in_pipe[2] = {-1, -1}, out_pipe[2] = {-1, -1};
+    int status_pipe[2] = {-1, -1};   /* CLOEXEC: reports exec failure */
+    if (pipe(in_pipe) != 0) return NULL;
+    if (pipe(out_pipe) != 0) { close_pair(in_pipe); return NULL; }
+    if (pipe(status_pipe) != 0 ||
+        fcntl(status_pipe[1], F_SETFD, FD_CLOEXEC) != 0) {
+        close_pair(in_pipe); close_pair(out_pipe); close_pair(status_pipe);
+        return NULL;
+    }
 
     pid_t pid = fork();
-    if (pid < 0) return NULL;
+    if (pid < 0) {
+        close_pair(in_pipe); close_pair(out_pipe); close_pair(status_pipe);
+        return NULL;
+    }
     if (pid == 0) {
         /* child: stdin ← in_pipe, stdout → out_pipe, stderr inherited */
         dup2(in_pipe[0], 0);
         dup2(out_pipe[1], 1);
         close(in_pipe[0]); close(in_pipe[1]);
         close(out_pipe[0]); close(out_pipe[1]);
+        close(status_pipe[0]);
         if (repo_root && *repo_root) {
             /* Prepend; clobbering PYTHONPATH can drop site hooks the
              * deployment relies on (e.g. backend plugin registration). */
@@ -55,18 +77,45 @@ EngineClient* engine_client_spawn(const char* python_exe,
                                                       : "python3";
         execlp(exe, exe, "-m", "audio_analyzer_rs_tpu.api.rpc",
                (char*)NULL);
+        /* exec failed: report errno through the CLOEXEC pipe. */
+        unsigned char e = (unsigned char)(errno ? errno : 1);
+        ssize_t ignored = write(status_pipe[1], &e, 1);
+        (void)ignored;
         _exit(127);
     }
-    close(in_pipe[0]);
-    close(out_pipe[1]);
+    close(in_pipe[0]);  in_pipe[0] = -1;
+    close(out_pipe[1]); out_pipe[1] = -1;
+    close(status_pipe[1]); status_pipe[1] = -1;
+
+    /* EOF on the status pipe (CLOEXEC) means exec succeeded; one byte
+     * means it failed with that errno. */
+    unsigned char exec_err = 0;
+    ssize_t got = read(status_pipe[0], &exec_err, 1);
+    close(status_pipe[0]);
+    if (got > 0) {
+        close(in_pipe[1]);
+        close(out_pipe[0]);
+        waitpid(pid, NULL, 0);
+        errno = exec_err;
+        return NULL;
+    }
 
     EngineClient* c = calloc(1, sizeof *c);
+    if (!c) {
+        close(in_pipe[1]); close(out_pipe[0]);
+        kill(pid, SIGTERM); waitpid(pid, NULL, 0);
+        return NULL;
+    }
     c->pid = pid;
     c->to_child = fdopen(in_pipe[1], "w");
     c->from_child = fdopen(out_pipe[0], "r");
     c->next_id = 1;
     if (!c->to_child || !c->from_child) {
-        engine_client_close(c);
+        /* Close whatever opened; raw fds for the rest, then reap. */
+        if (c->to_child) fclose(c->to_child); else close(in_pipe[1]);
+        if (c->from_child) fclose(c->from_child); else close(out_pipe[0]);
+        waitpid(pid, NULL, 0);   /* stdin EOF → server exits */
+        free(c);
         return NULL;
     }
     return c;
@@ -97,29 +146,46 @@ int engine_client_call(EngineClient* c, const char* method,
                        char* out, size_t out_len) {
     if (!c || !method) return -1;
     if (out && out_len) out[0] = '\0';
+    int id = c->next_id++;
     if (fprintf(c->to_child, "{\"id\": %d, \"method\": \"%s\", "
                              "\"params\": %s}\n",
-                c->next_id++, method,
+                id, method,
                 (params_json && *params_json) ? params_json : "[]") < 0
         || fflush(c->to_child) != 0) {
         set_err(c, "write to engine failed");
         return -1;
     }
-    char line[1 << 16];
-    if (!fgets(line, sizeof line, c->from_child)) {
+    /* getline: responses (poll_onsets, poll_errors, metrics) can exceed
+     * any fixed buffer; a truncated read would desynchronize the protocol
+     * forever. */
+    char* line = NULL;
+    size_t cap = 0;
+    ssize_t len = getline(&line, &cap, c->from_child);
+    if (len < 0) {
+        free(line);
         set_err(c, "engine closed the pipe");
         return -1;
     }
+    /* The server echoes our id; a mismatch means the stream is
+     * desynchronized (a bug, or a stale response) — fail loudly. */
+    char idpat[32];
+    snprintf(idpat, sizeof idpat, "{\"id\": %d,", id);
+    if (strncmp(line, idpat, strlen(idpat)) != 0) {
+        set_err(c, "response id mismatch (protocol desync)");
+        free(line);
+        return -1;
+    }
+    int rc = 0;
     if (strstr(line, "\"error\"")) {
         extract_value(line, "error", c->err, sizeof c->err);
-        return -1;
-    }
-    if (out && out_len &&
-        extract_value(line, "result", out, out_len) != 0) {
+        rc = -1;
+    } else if (out && out_len &&
+               extract_value(line, "result", out, out_len) != 0) {
         set_err(c, "malformed response");
-        return -1;
+        rc = -1;
     }
-    return 0;
+    free(line);
+    return rc;
 }
 
 static const char B64[] =
@@ -127,12 +193,28 @@ static const char B64[] =
 
 int engine_client_push_audio(EngineClient* c, const float* samples,
                              size_t n) {
+    /* The wire format is little-endian float32 (rpc.py decodes "<f4"). */
     const unsigned char* bytes = (const unsigned char*)samples;
     size_t nbytes = n * sizeof(float);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    unsigned char* le = malloc(nbytes ? nbytes : 1);
+    if (!le) { set_err(c, "oom"); return -1; }
+    for (size_t i = 0; i < nbytes; i += 4) {
+        le[i] = bytes[i + 3]; le[i + 1] = bytes[i + 2];
+        le[i + 2] = bytes[i + 1]; le[i + 3] = bytes[i];
+    }
+    bytes = le;
+#endif
     size_t b64len = 4 * ((nbytes + 2) / 3);
     /* params: ["<base64>"] */
     char* params = malloc(b64len + 8);
-    if (!params) { set_err(c, "oom"); return -1; }
+    if (!params) {
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+        free(le);
+#endif
+        set_err(c, "oom");
+        return -1;
+    }
     char* q = params;
     *q++ = '['; *q++ = '"';
     for (size_t i = 0; i < nbytes; i += 3) {
@@ -148,6 +230,9 @@ int engine_client_push_audio(EngineClient* c, const float* samples,
     char out[64];
     int rc = engine_client_call(c, "push_audio", params, out, sizeof out);
     free(params);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    free(le);
+#endif
     return rc;
 }
 

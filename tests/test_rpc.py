@@ -70,6 +70,43 @@ def test_rpc_errors_surface():
     assert "unknown method" in resp["error"]
 
 
+def test_c_client_spawn_failure_reported():
+    """engine_client_spawn must return NULL when the interpreter can't be
+    exec'd (detected via a CLOEXEC status pipe), not a client that fails
+    confusingly on first use."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("cc") is None:
+        pytest.skip("no C compiler")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rt = os.path.join(repo, "runtime")
+    src = r'''
+#include "engine_client.h"
+#include <stdio.h>
+int main(void) {
+    EngineClient* c = engine_client_spawn("/nonexistent-python-exe", ".");
+    if (c) { fprintf(stderr, "spawn unexpectedly succeeded\n"); return 1; }
+    puts("spawn correctly failed");
+    return 0;
+}
+'''
+    with tempfile.TemporaryDirectory() as td:
+        cpath = os.path.join(td, "t.c")
+        with open(cpath, "w") as f:
+            f.write(src)
+        exe = os.path.join(td, "t")
+        subprocess.run(["cc", "-I", rt, "-o", exe, cpath,
+                        os.path.join(rt, "engine_client.c")],
+                       check=True, capture_output=True, timeout=60)
+        proc = subprocess.run([exe], capture_output=True, text=True,
+                              timeout=30)
+        assert proc.returncode == 0, (proc.stdout, proc.stderr)
+        assert "spawn correctly failed" in proc.stdout
+
+
 def test_c_embedding_client():
     """Build and run the C embedding client demo (the uniffi-bindgen
     analog): C synthesizes a tone, pushes it over the RPC boundary, and the

@@ -67,6 +67,57 @@ def test_native_pipeline_threaded_roundtrip(rng):
         np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-7)
 
 
+def test_native_pipeline_per_slot_dynamics_pairing(rng):
+    """Each pulled slot must carry ITS OWN dynamics snapshot, not whichever
+    slot the worker conditioned last (the pre-fix code shared one struct,
+    racy and mispaired when the worker ran ahead of the consumer)."""
+    import time
+    pipe = runtime.NativePipeline(SR, pool_size=64, slot_len=1024)
+    slots = _scene(24, rng)
+    ref = runtime.NativeReducer(SR, 1024)
+    expected_rms = [ref.process_slot(s)[1]["rms_db"] for s in slots]
+    # Push everything first so the worker drains far ahead of our pulls —
+    # exactly the window where the shared-struct version mispaired.
+    for s in slots:
+        assert pipe.push(s)
+    deadline = time.time() + 5.0
+    got = []
+    while len(got) < len(slots) and time.time() < deadline:
+        r = pipe.pull()
+        if r is None:
+            time.sleep(0.001)
+            continue
+        got.append(r[1]["rms_db"])
+    pipe.close()
+    assert len(got) == len(slots)
+    np.testing.assert_allclose(got, expected_rms, atol=1e-4)
+
+
+def test_stale_library_degrades_gracefully(tmp_path):
+    """A corrupt .so must not crash available() (documented graceful
+    degradation contract).  Run in a fresh subprocess against a temp copy:
+    overwriting the real library in place while it is dlopen'd in this
+    process would SIGBUS the suite."""
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "libaudio_runtime.so").write_bytes(b"not an elf file")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "from audio_analyzer_rs_tpu import runtime\n"
+        f"runtime._RUNTIME_DIR = {str(tmp_path)!r}\n"   # no Makefile: rebuild fails
+        f"runtime._LIB_PATH = {str(tmp_path / 'libaudio_runtime.so')!r}\n"
+        "assert not runtime.available()\n"              # False, not a crash
+        "print('graceful')\n")
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120,
+                          env=env)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "graceful" in proc.stdout
+
+
 def test_native_throughput_is_realtime_many_times_over(rng):
     """The host conditioning path must not be the system bottleneck."""
     import time
