@@ -157,7 +157,7 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
 
 
 def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
-                             segments: int = 16,
+                             segments: int | None = None,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
                              feature_chunk_frames: int = 8192

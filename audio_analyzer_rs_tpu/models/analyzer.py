@@ -66,6 +66,12 @@ class PitchAnalyzer:
     hop: int = PITCH_HOP
     backend: str = DEFAULT_BACKEND
     debug_recorder: object = None    # devtools.DebugRecorder (optional)
+    # Device-memory bound for one jitted call: extract_pitches materializes
+    # ~[n, 14*half] comb transients, so a single process() over an hour of
+    # audio (310k frames) would need ~18 GB HBM.  Larger inputs are split
+    # into max_chunk_frames pieces with state carried — sequential
+    # semantics are identical (the pipeline is a scan).
+    max_chunk_frames: int = 4096
     _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
     def __post_init__(self):
@@ -95,22 +101,31 @@ class PitchAnalyzer:
             return None
         consumed = n * self.hop
         self._tail = buf[consumed:]
-        # Frame on device and keep the [n, window] array there — pulling it
-        # to host would round-trip a 4x-expanded copy of the audio per call.
-        frames = frame_signal(jnp.asarray(buf), self.window, self.hop)
         half = self.window // 2 + 1
-        gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
-                     np.float32)
+        gf_lin = float(noisefloor.global_floor_linear(global_floor_db, half))
         if onset_pending is not None:
             onsets = np.asarray(onset_pending, bool)[:n]
         else:
             onsets = np.zeros(n, bool)
             if onset_first:
                 onsets[0] = True
-        self.nf_state, self.tr_state, out = pitch_analyze_frames(
-            self.nf_state, self.tr_state, frames, jnp.asarray(gf),
-            jnp.asarray(onsets), self.sample_rate, self.window, self.hop,
-            self.backend, return_floor=self.debug_recorder is not None)
+        buf_dev = jnp.asarray(buf)
+        outs = []
+        for c0 in range(0, n, self.max_chunk_frames):
+            c1 = min(c0 + self.max_chunk_frames, n)
+            # Frame on device and keep the [m, window] array there — pulling
+            # it to host would round-trip a 4x-expanded copy of the audio.
+            sl = buf_dev[c0 * self.hop:(c1 - 1) * self.hop + self.window]
+            frames = frame_signal(sl, self.window, self.hop)
+            gf = jnp.full(c1 - c0, gf_lin, jnp.float32)
+            self.nf_state, self.tr_state, out = pitch_analyze_frames(
+                self.nf_state, self.tr_state, frames, gf,
+                jnp.asarray(onsets[c0:c1]), self.sample_rate, self.window,
+                self.hop, self.backend,
+                return_floor=self.debug_recorder is not None)
+            outs.append(out)
+        out = outs[0] if len(outs) == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *outs)
         out = jax.tree.map(np.asarray, out)
         if self.debug_recorder is not None:
             bin_width = self.sample_rate / self.window
@@ -151,6 +166,9 @@ class OnsetAnalyzer:
     window: int = ONSET_WINDOW
     hop: int = ONSET_HOP
     backend: str = DEFAULT_BACKEND
+    # Bound per-call device memory (see PitchAnalyzer.max_chunk_frames);
+    # onset arrays are only [n, 129] so the bound is far looser.
+    max_chunk_frames: int = 131072
     _tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
 
     def __post_init__(self):
@@ -172,15 +190,23 @@ class OnsetAnalyzer:
             return None
         consumed = n * self.hop
         self._tail = buf[consumed:]
-        frames = frame_signal(jnp.asarray(buf), self.window, self.hop)
         half = self.window // 2 + 1
-        gf = np.full(n, noisefloor.global_floor_linear(global_floor_db, half),
-                     np.float32)
+        gf_lin = float(noisefloor.global_floor_linear(global_floor_db, half))
         ts = (np.zeros(n, bool) if tick_suppressed is None
               else np.asarray(tick_suppressed, bool)[:n])
-        ch = jnp.full((n,), bool(calibration_hold))
-        self.state, out = onset_analyze_frames(
-            self.state, frames, jnp.asarray(gf), jnp.asarray(ts),
-            ch, self.window, self.backend)
+        buf_dev = jnp.asarray(buf)
+        outs = []
+        for c0 in range(0, n, self.max_chunk_frames):
+            c1 = min(c0 + self.max_chunk_frames, n)
+            sl = buf_dev[c0 * self.hop:(c1 - 1) * self.hop + self.window]
+            frames = frame_signal(sl, self.window, self.hop)
+            gf = jnp.full(c1 - c0, gf_lin, jnp.float32)
+            ch = jnp.full((c1 - c0,), bool(calibration_hold))
+            self.state, out = onset_analyze_frames(
+                self.state, frames, gf, jnp.asarray(ts[c0:c1]),
+                ch, self.window, self.backend)
+            outs.append(out)
+        out = outs[0] if len(outs) == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *outs)
         self.frames_consumed += n
         return jax.tree.map(np.asarray, out)

@@ -12,8 +12,10 @@ except for rare borderline peaks sitting right at the floor threshold.
 Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
-Measured on TPU v5e: 16 segments ≈ 5.4x single-stream throughput
-(~97k frames/s ≈ 1100x realtime at window 2048 / hop 512 / 44.1 kHz).
+Measured on TPU v5e (fft backend): 64 segments x 256-frame chunks ≈ 8.4x
+single-stream throughput (~150k frames/s ≈ 1740x realtime at window 2048 /
+hop 512 / 44.1 kHz), with 100.000% frame agreement vs the sequential run
+measured over a 1 h mixed scene (see `auto_segments` for the scaling map).
 """
 
 from __future__ import annotations
@@ -96,10 +98,27 @@ def _shard_batch(tree, mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
+    """Segment count for a recording of n_total frames: keep each segment's
+    payload near >= 20x the discarded warmup (overhead ~<= 5%), capped where
+    the v5e measurements plateau.  Measured raw step throughput (v5e, fft):
+    16seg/1024cf 128k, 32/512 135k, 48/512 141k, 64/256 150k, 128/128 161k
+    frames/s — but warmup overhead grows with S on a fixed-length file, so
+    end-to-end the curve flattens near the cap.  Snapped to a power of two:
+    each distinct (segments, chunk) pair is its own XLA program, and pow2
+    counts bound the compile-cache population at ~7 entries."""
+    ideal = min(cap, n_total // (warmup_frames * 20))
+    if ideal <= 1:
+        return 1
+    lower = 1 << (ideal.bit_length() - 1)
+    upper = min(lower * 2, cap)
+    return upper if ideal >= lower + lower // 2 else lower
+
+
 def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
-                             segments: int = 16,
+                             segments: int | None = None,
                              warmup_frames: int = DEFAULT_WARMUP_FRAMES,
-                             chunk_frames: int = 1024,
+                             chunk_frames: int = 256,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
                              backend: str = DEFAULT_BACKEND,
@@ -109,6 +128,10 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
     covering all N frames of the recording, in order.
+
+    `segments=None` (default) picks the count adaptively via
+    `auto_segments` — hour-scale audio fans out to 64 parallel scan
+    streams; short clips fall back toward exact sequential analysis.
 
     With `mesh` (a 1-D jax.sharding.Mesh) the segment axis is sharded
     across its devices — one recording fans out over the whole chip fleet
@@ -120,6 +143,8 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     if n_total <= 0:
         z = np.zeros((0, 8), np.float32)
         return z, z.copy(), np.zeros((0, 8), bool)
+    if segments is None:
+        segments = auto_segments(n_total, warmup_frames)
 
     # Every segment's stream is L = warmup + payload frames; segment 0's
     # whole stream is payload (fresh state = exact), segments 1.. discard
@@ -215,7 +240,7 @@ def _vmapped_onset_step(states, seg_streams, offset, global_floor, tick_sup,
 
 
 def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
-                             segments: int = 16,
+                             segments: int | None = None,
                              warmup_frames: int = DEFAULT_ONSET_WARMUP_FRAMES,
                              chunk_frames: int = 4096,
                              window: int = ONSET_WINDOW,
@@ -237,6 +262,8 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     if n_total <= 0:
         z = np.zeros(0, np.float32)
         return np.zeros(0, bool), z, z.copy(), z.copy()
+    if segments is None:
+        segments = auto_segments(n_total, warmup_frames)
 
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
     segments = _snap_to_mesh(segments, mesh)

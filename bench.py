@@ -99,42 +99,45 @@ def main():
     # verified in tests/test_segmented.py.  Guarded so a failure here (e.g.
     # an HBM regression) still reports the single-stream number.
     fps = None
+    segs, seg_cf = 64, 256    # measured v5e sweet spot (models/segmented.py)
     try:
         from audio_analyzer_rs_tpu.models.segmented import _vmapped_step
         from audio_analyzer_rs_tpu.ops import (noisefloor as nf_mod,
                                                tracker as tr_mod)
-        segs = 16
+        seg_samples = (seg_cf - 1) * hop + window
+        seg_audio = audio[:seg_samples]
 
         def repl(state):
             return jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (segs,) + a.shape), state)
         nf_b = repl(nf_mod.init_state(window // 2 + 1))
         tr_b = repl(tr_mod.init_state())
-        audio_b = jnp.broadcast_to(audio, (segs,) + audio.shape)
-        gf_b = jnp.full((segs, chunk_frames), 1e-3, jnp.float32)
-        on_b = jnp.zeros((segs, chunk_frames), bool)
+        audio_b = jnp.broadcast_to(seg_audio, (segs,) + seg_audio.shape)
+        gf_b = jnp.full((segs, seg_cf), 1e-3, jnp.float32)
+        on_b = jnp.zeros((segs, seg_cf), bool)
         nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
                                          sr, window, hop)
         _ = np.asarray(outb.stable_valid).sum()
-        seg_iters = max(n_chunks // segs, 4)
+        seg_iters = max(total_frames_target // (segs * seg_cf), 4)
         t0 = time.perf_counter()
         for _ in range(seg_iters):
             nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
                                              sr, window, hop)
         _ = np.asarray(outb.stable_valid).sum()
         dt = time.perf_counter() - t0
-        fps = seg_iters * segs * chunk_frames / dt
+        fps = seg_iters * segs * seg_cf / dt
         log(f"segment-parallel x{segs}: {seg_iters} steps in {dt:.2f}s -> "
             f"{fps:,.0f} frames/s ({fps * hop / sr:,.0f}x realtime); "
-            f"full 1h would take {total_frames_target / fps:.2f}s")
+            f"full 1h incl. warmup overhead ~"
+            f"{total_frames_target * (1 + segs * 256 / total_frames_target) / fps:.2f}s")
     except Exception as e:                                # pragma: no cover
         log(f"segment-parallel mode failed ({e!r}); "
             f"reporting single-stream only")
 
     baseline_fps = 100.0 * sr / hop   # north star: 100x realtime
     best = fps if fps else fps_single
-    seg_note = (" 16 parallel segments w/ 256-frame warmup, >99% agreement;"
-                f" single-stream {fps_single:,.0f}" if fps else
+    seg_note = (f" {segs} parallel segments w/ 256-frame warmup, >99% "
+                f"agreement; single-stream {fps_single:,.0f}" if fps else
                 " single stream")
     print(json.dumps({
         "metric": "pitch_pipeline_frames_per_sec_per_chip",

@@ -219,3 +219,17 @@ def test_pitch_analyzer_streaming_matches_batch():
     assert sf2.shape == full.stable_freqs.shape
     np.testing.assert_allclose(sf2[sv2], full.stable_freqs[full.stable_valid],
                                rtol=1e-6)
+
+
+def test_process_internal_chunking_is_transparent():
+    """process() splits big inputs into max_chunk_frames pieces with state
+    carried; outputs must be bit-identical to one unsplit call (the chunked
+    path is what keeps hour-scale analyze_buffer within HBM)."""
+    x = gen.tone_with_harmonics(220.0, 1.5, SR, harmonics=6, amplitude=0.4)
+    one = PitchAnalyzer(SR).process(x)
+    an = PitchAnalyzer(SR, max_chunk_frames=17)   # force many ragged chunks
+    many = an.process(x)
+    np.testing.assert_array_equal(one.stable_freqs, many.stable_freqs)
+    np.testing.assert_array_equal(one.stable_valid, many.stable_valid)
+    np.testing.assert_array_equal(one.raw_freqs, many.raw_freqs)
+    np.testing.assert_array_equal(one.mags, many.mags)
