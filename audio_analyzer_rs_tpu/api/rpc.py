@@ -167,9 +167,47 @@ class RpcServer:
             stdout.write(json.dumps(self.handle(request)) + "\n")
             stdout.flush()
 
+    def serve_tcp(self, host: str = "127.0.0.1", port: int = 0,
+                  max_clients: Optional[int] = None) -> None:
+        """Serve the same line protocol over TCP, one client at a time (the
+        engine is a single session, like the reference's uniffi object
+        graph).  Binds before accepting; the chosen port is published on
+        `self.tcp_port` (port=0 picks an ephemeral one).  A client's
+        ``quit`` line ends that client's session; the server then accepts
+        the next connection, up to `max_clients` (None = forever)."""
+        import socket
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(1)
+        self.tcp_port = srv.getsockname()[1]
+        try:
+            served = 0
+            while max_clients is None or served < max_clients:
+                conn, _ = srv.accept()
+                served += 1
+                with conn:
+                    rf = conn.makefile("r", encoding="utf-8")
+                    wf = conn.makefile("w", encoding="utf-8")
+                    try:
+                        self.serve_stdio(stdin=rf, stdout=wf)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass  # client vanished; accept the next one
+        finally:
+            srv.close()
+
 
 def main() -> None:
-    RpcServer().serve_stdio()
+    """``python -m audio_analyzer_rs_tpu.api.rpc [--tcp HOST:PORT]``"""
+    args = sys.argv[1:]
+    if args and args[0] == "--tcp":
+        host, _, port = (args[1] if len(args) > 1 else "127.0.0.1:0"
+                         ).rpartition(":")
+        server = RpcServer()
+        server.serve_tcp(host or "127.0.0.1", int(port or 0))
+    else:
+        RpcServer().serve_stdio()
 
 
 if __name__ == "__main__":

@@ -70,6 +70,49 @@ def test_rpc_errors_surface():
     assert "unknown method" in resp["error"]
 
 
+def test_tcp_transport_round_trip():
+    """The TCP transport serves the same line protocol as stdio: connect,
+    ping, create a metronome, quit — then the server accepts the next
+    client (session-per-connection like the uniffi object graph)."""
+    import socket
+    import threading
+    import time
+
+    server = RpcServer()
+    t = threading.Thread(target=server.serve_tcp,
+                         kwargs=dict(max_clients=2), daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not hasattr(server, "tcp_port") and time.time() < deadline:
+        time.sleep(0.01)
+
+    def session(reqs):
+        out = []
+        with socket.create_connection(("127.0.0.1", server.tcp_port),
+                                      timeout=10) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+                f.flush()
+                out.append(json.loads(f.readline()))
+            f.write("quit\n")
+            f.flush()
+        return out
+
+    r1 = session([{"id": 1, "method": "ping", "params": []},
+                  {"id": 2, "method": "create_metronome",
+                   "params": [120.0, [3, 1, 1, 1], [], 1.0, False]}])
+    assert r1[0] == {"id": 1, "result": "pong"}
+    assert r1[1] == {"id": 2, "result": True}
+    # Second client: a fresh connection is accepted; the engine state
+    # persists (metronome still active -> double create errors).
+    r2 = session([{"id": 1, "method": "create_metronome",
+                   "params": [120.0, [3, 1, 1, 1], [], 1.0, False]}])
+    assert "Already active" in r2[0]["error"]
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+
 def test_c_client_spawn_failure_reported():
     """engine_client_spawn must return NULL when the interpreter can't be
     exec'd (detected via a CLOEXEC status pipe), not a client that fails
