@@ -14,6 +14,7 @@ Usage:
       [--segments N]    # bulk offline analysis -> JSONL per-frame features
   python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
   python -m audio_analyzer_rs_tpu.cli met <bpm> <seconds> <out.wav>
+  python -m audio_analyzer_rs_tpu.cli play <in-audio> <out.wav> [--seek S]
   python -m audio_analyzer_rs_tpu.cli synth <midi> <out.wav> [instrument]
   python -m audio_analyzer_rs_tpu.cli practice <midi> [wav]
       [--mode FollowAlong|Performance|Rubato]
@@ -170,6 +171,35 @@ def cmd_synth(midi_path: str, out_path: str, instrument: str = "Piano") -> None:
           f"to {out_path}")
 
 
+def cmd_play(in_path: str, out_path: str, seek: float = 0.0) -> None:
+    """Drive the AudioPlayer (decode → resample → mixer) offline and write
+    the rendered output — the batch analog of the reference CLI's player
+    command (ref testing.rs player; decode covers mp3/flac/ogg/... via the
+    native FFmpeg module when available)."""
+    e = AudioEngine()
+    player = e.create_player()
+    player.load_track(in_path)
+    if seek:
+        player.seek(seek)
+    player.play()
+    chunks = []
+    orig = e._output_callback
+
+    def capture(buf):
+        orig(buf)
+        chunks.append(buf.copy())
+    e.device.output_callback = capture
+    while (e.active_player is not None
+           and not player._controller._player.is_finished()):
+        e.advance(0.25)
+        if sum(len(c) for c in chunks) > int(e.sample_rate) * 3600:
+            break   # hard cap: one hour of render
+    audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    wav.write_wav(out_path, audio, int(e.sample_rate))
+    print(f"played {in_path} -> {out_path} "
+          f"({len(audio) / e.sample_rate:.2f}s at {int(e.sample_rate)} Hz)")
+
+
 def render_performance(midi_path: str, instrument: str, sr: float,
                        bpm_override: float | None = None) -> np.ndarray:
     """Render an 'ideal student' performance as harmonic tones."""
@@ -255,8 +285,9 @@ def cmd_practice(midi_path: str, wav_path: str | None = None,
 
 def repl() -> None:
     print("audio_analyzer_rs_tpu CLI — commands: tuner <wav> | onset <wav> | "
-          "met <bpm> <s> <out> | synth <midi> <out> | "
-          "practice <midi> [wav] | quit")
+          "met <bpm> <s> <out> | play <in> <out> | synth <midi> <out> | "
+          "rec <in> <out> | analyze <wav> [out] | practice <midi> [wav] | "
+          "quit")
     while True:
         try:
             line = input("> ").strip()
@@ -306,6 +337,8 @@ def _dispatch(cmd, pos, kwargs) -> None:
         cmd_rec(pos[0], pos[1])
     elif cmd == "met":
         cmd_met(float(pos[0]), float(pos[1]), pos[2])
+    elif cmd == "play":
+        cmd_play(pos[0], pos[1], seek=float(kwargs.get("seek", 0.0)))
     elif cmd == "synth":
         cmd_synth(pos[0], pos[1], *(pos[2:3]))
     elif cmd == "practice":

@@ -38,6 +38,18 @@ def test_cli_synth_renders_midi(tmp_path, midi_file, capsys):
     assert "rendered" in capsys.readouterr().out
 
 
+def test_cli_play_renders_file(tmp_path, capsys):
+    src = str(tmp_path / "tone.wav")
+    out = str(tmp_path / "played.wav")
+    x = gen.tone_with_harmonics(440.0, 1.0, 44100.0, amplitude=0.4)
+    wav.write_wav(src, x, 44100)
+    cli.main(["play", src, out])
+    data, sr, ch = wav.read_wav(out)
+    # Resampled 44.1k → 48k device rate; content preserved, then silence.
+    assert np.abs(data).max() > 0.2
+    assert "played" in capsys.readouterr().out
+
+
 def test_cli_onset_lists_events(tmp_path, capsys):
     path = str(tmp_path / "clicks.wav")
     x = np.zeros(int(48000 * 1.5), np.float32)
