@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# lax.scan unroll factor (amortizes per-step sequencing on TPU;
+# measured best value for this op's state size).
+SCAN_UNROLL = 16
+
 from .pitch import MAX_NOTES
 
 # 8 live raw pitches + up to 8 coasting (life<=3) tracks + headroom so a
@@ -130,7 +134,8 @@ def tracker_scan(state: TrackerState, raw_freqs, raw_scores, raw_valid,
         rf, rs, rv, on = inp
         return _step(s, rf, rs, rv, on)
     state, (freq, score, stable, seq) = jax.lax.scan(
-        body, state, (raw_freqs, raw_scores, raw_valid, onsets), unroll=16)
+        body, state, (raw_freqs, raw_scores, raw_valid, onsets),
+        unroll=SCAN_UNROLL)
     # Batched (parallel over frames) stable-by-seq top-8 selection.
     int_max = jnp.iinfo(jnp.int32).max
     order = jnp.argsort(jnp.where(stable, seq, int_max), axis=-1)[:, :MAX_NOTES]
