@@ -175,10 +175,13 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
     """
     import jax.numpy as jnp
 
-    from .models.segmented import (segmented_onset_analysis,
+    from .models.segmented import (_as_host_audio, _upload_f32,
+                                   segmented_onset_analysis,
                                    segmented_pitch_analysis)
 
-    audio = np.asarray(audio, dtype=np.float32)
+    # int16 input is accepted and uploaded raw (half the host→device
+    # bytes; converted on device, bit-identical to host conversion).
+    audio = _as_host_audio(audio)
     n = num_frames(len(audio), PITCH_WINDOW, PITCH_HOP)
 
     fired, vel, _, _ = segmented_onset_analysis(
@@ -215,7 +218,7 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
     cols = {k: [] for k in ("rms", "energy", "centroid_hz", "rolloff_hz",
                             "flux", "f0", "voiced")}
     specs = []
-    audio_dev = jnp.asarray(audio)
+    audio_dev = _upload_f32(audio)
     step = feature_chunk_frames
     for c0 in range(0, n, step):
         c1 = min(c0 + step, n)

@@ -136,3 +136,29 @@ def test_segmented_onset_empty():
     fired, vel, flux, energy = segmented_onset_analysis(
         np.zeros(100, np.float32), SR)
     assert fired.shape == (0,)
+
+
+def test_int16_input_bit_identical_to_float32():
+    """int16 audio uploads raw (half the bytes) and converts on device by
+    1/32768 — results must be bit-identical to converting on host first."""
+    x = melody(4.0)
+    i16 = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+
+    a = segmented_pitch_analysis(f32, SR, segments=2)
+    b = segmented_pitch_analysis(i16, SR, segments=2)
+    for x_a, x_b in zip(a, b):
+        np.testing.assert_array_equal(x_a, x_b)
+
+    oa = segmented_onset_analysis(f32, SR, segments=2)
+    ob = segmented_onset_analysis(i16, SR, segments=2)
+    for x_a, x_b in zip(oa, ob):
+        np.testing.assert_array_equal(x_a, x_b)
+
+    import audio_analyzer_rs_tpu as aat
+    ba = aat.analyze_buffer_segmented(f32, SR, segments=2)
+    bb = aat.analyze_buffer_segmented(i16, SR, segments=2)
+    np.testing.assert_array_equal(ba.rms, bb.rms)
+    np.testing.assert_array_equal(ba.flux, bb.flux)
+    np.testing.assert_array_equal(ba.stable_freqs, bb.stable_freqs)
+    np.testing.assert_array_equal(ba.spectrogram, bb.spectrogram)
