@@ -435,3 +435,36 @@ def test_practice_followalong_stops_for_unplayed_notes(tmp_path):
     assert snap["is_playing"] is False
     assert snap["beat_position"] < 2.1, snap["beat_position"]
     assert session.is_running()   # session waits for the player
+
+
+def test_uniffi_api_surface_complete():
+    """Every method the reference exports over uniffi (ref src/lib.rs
+    #[uniffi::export] impls, lines 78-823) exists under the same name on
+    the same-named object here — a reference user can port call-for-call."""
+    from audio_analyzer_rs_tpu.api import engine as E
+
+    surface = {
+        "AudioEngine": [                     # ref lib.rs:448-823
+            "start_input", "start_output", "create_metronome",
+            "create_synth", "create_player", "start_recording",
+            "start_onset_detection", "start_tuner", "stop_metronome",
+            "stop_synth", "stop_player", "stop_recording",
+            "stop_onset_detection", "create_practice_session",
+            "stop_practice_session", "stop_tuner", "poll_dynamics",
+            "poll_transport", "clean_input", "clean_output"],
+        "Tuner": ["poll_output", "set_base_freq", "set_key", "set_mode",
+                  "set_system"],            # ref lib.rs:78-120
+        "Metronome": ["set_bpm", "set_volume", "set_pattern", "set_muted",
+                      "set_polyrhythm"],    # ref lib.rs:122-174
+        "Synth": ["load_file", "play", "play_note", "pause", "resume",
+                  "clear", "set_volume", "set_muted"],  # ref lib.rs:176-252
+        "Player": ["load_track", "play", "pause", "seek"],  # ref 254-286
+        "Recording": ["pause", "resume"],   # ref lib.rs:288-308
+        "OnsetDetection": ["poll_onsets", "pause", "resume"],  # ref 324-358
+        "PracticeSession": ["start", "stop", "poll_transport", "poll_errors",
+                            "get_metrics", "is_running", "set_tuner_mode",
+                            "set_bpm"],     # ref lib.rs:360-446
+    }
+    missing = [f"{c}.{m}" for c, ms in surface.items()
+               for m in ms if not hasattr(getattr(E, c, None), m)]
+    assert not missing, missing
