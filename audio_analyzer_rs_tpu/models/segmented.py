@@ -12,10 +12,11 @@ except for rare borderline peaks sitting right at the floor threshold.
 Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
-Measured on TPU v5e (fft backend): 64 segments x 256-frame chunks ≈ 8.4x
-single-stream throughput (~150k frames/s ≈ 1740x realtime at window 2048 /
-hop 512 / 44.1 kHz), with 100.000% frame agreement vs the sequential run
-measured over a 1 h mixed scene (see `auto_segments` for the scaling map).
+Measured on TPU v5e (fft backend, candidate-band comb): 64 segments x
+256-frame chunks ≈ 13x single-stream throughput (~259k frames/s ≈ 3000x
+realtime at window 2048 / hop 512 / 44.1 kHz), with 100.000% frame
+agreement vs the sequential run measured over a 1 h mixed scene (see
+`auto_segments` for the scaling map).
 """
 
 from __future__ import annotations
@@ -123,10 +124,10 @@ def _shard_batch(tree, mesh):
 def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
     """Segment count for a recording of n_total frames: keep each segment's
     payload near >= 20x the discarded warmup (overhead ~<= 5%), capped where
-    the v5e measurements plateau.  Measured raw step throughput (v5e, fft):
-    16seg/1024cf 128k, 32/512 135k, 48/512 141k, 64/256 150k, 128/128 161k
-    frames/s — but warmup overhead grows with S on a fixed-length file, so
-    end-to-end the curve flattens near the cap.  Snapped to a power of two:
+    the v5e measurements plateau.  Measured raw step throughput (v5e, fft,
+    candidate-band comb): 64seg/256cf 259k, 128/128 263k, 128/256 255k,
+    64/512 225k frames/s — the curve is flat past 64 segments and warmup
+    overhead grows with S on a fixed-length file.  Snapped to a power of two:
     each distinct (segments, chunk) pair is its own XLA program, and pow2
     counts bound the compile-cache population at ~7 entries."""
     ideal = min(cap, n_total // (warmup_frames * 20))

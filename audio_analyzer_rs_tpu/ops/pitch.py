@@ -73,28 +73,40 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     delta = jnp.where(degenerate, 0.0, delta)
     frac_bin = k.astype(jnp.float32) + delta
 
-    # ── harmonic comb scoring, all bins in parallel (stft.rs:499-545) ────
-    # TPU-critical restructure: dynamic gathers (mags at per-bin search
-    # windows) are catastrophically slow on TPU.  Since the window for
-    # harmonic n of bin k is centered at n*k (frac_bin deviates from k by at
-    # most ±1, so e = frac*n lies within ±n of n*k), every needed value
-    # pm[n*k + c] for c in [-n-1, n+1] is a *static strided slice* of a
-    # zero-padded peak-magnitude array — no gathers at all.  The dynamic
-    # fractional window [e-1, e+1] and the "past the last matched bin"
-    # constraint become pure arithmetic masks on the static position n*k+c.
+    # ── harmonic comb scoring, all candidate bins in parallel
+    # (stft.rs:499-545).  TPU-critical restructure: dynamic gathers (mags
+    # at per-bin search windows) are catastrophically slow on TPU.  Since
+    # the window for harmonic n of bin k is centered at n*k (frac_bin
+    # deviates from k by at most ±1, so e = frac*n lies within ±n of n*k),
+    # every needed value pm[n*k + c] for c in [-n-1, n+1] is a *static
+    # strided slice* of a zero-padded peak-magnitude array — no gathers at
+    # all.  The dynamic fractional window [e-1, e+1] and the "past the last
+    # matched bin" constraint become pure arithmetic masks on the static
+    # position n*k+c.
+    #
+    # Only bins below max_bin can be fundamentals (is_peak requires
+    # k < max_bin, the 10 kHz cap — bin ~464 of 1025 at 44.1 kHz/2048), so
+    # the comb runs on the [kc] candidate band only: ~2.2x less compute and
+    # HBM slab than full-width, with harmonics still read from the full
+    # padded spectrum.
     pm = jnp.where(is_peak, mags, 0.0)
     front = MAX_HARMONICS + 2
     pad_len = front + half * MAX_HARMONICS + 2 * MAX_HARMONICS + 4
     pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + half].set(pm)
 
-    fund_mag = mags
+    # Static candidate band width; at least TOP_K so the top_k below is
+    # well-formed (bins in [max_bin, kc) can never be peaks → masked out).
+    kc = min(half, max(max_bin, TOP_K))
+    k_c = k[:kc]
+    frac_c = frac_bin[:kc]
+    fund_mag = mags[:kc]
     score = fund_mag
-    last = k
-    longest_run = jnp.zeros((half,), jnp.int32)
-    current_run = jnp.zeros((half,), jnp.int32)
-    total_harms = jnp.zeros((half,), jnp.int32)
+    last = k_c
+    longest_run = jnp.zeros((kc,), jnp.int32)
+    current_run = jnp.zeros((kc,), jnp.int32)
+    total_harms = jnp.zeros((kc,), jnp.int32)
     for n in range(2, MAX_HARMONICS + 1):
-        expected_f = frac_bin * n
+        expected_f = frac_c * n
         valid_n = expected_f < half
         search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
         search_start = jnp.maximum(search_base, last + 1)
@@ -111,16 +123,16 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
         # — 247 select rounds — compiles pathologically under vmap on this
         # backend; ~5 rounds per harmonic is fine.)
         cs_py = list(range(-n - 1, n + 2))
-        nk = n * k
-        best_mag = jnp.zeros((half,), jnp.float32)
-        best_c = jnp.zeros((half,), jnp.int32)
+        nk = n * k_c
+        best_mag = jnp.zeros((kc,), jnp.float32)
+        best_c = jnp.zeros((kc,), jnp.int32)
         for lo in range(0, len(cs_py), _COMB_CHUNK):
             chunk = cs_py[lo:lo + _COMB_CHUNK]
             cs = jnp.asarray(chunk, dtype=jnp.int32)
             vals = jnp.stack([
                 jax.lax.slice(pm_pad, (front + c,),
-                              (front + c + half * n,), (n,))
-                for c in chunk], axis=0)                      # [<=CHUNK, half]
+                              (front + c + kc * n,), (n,))
+                for c in chunk], axis=0)                      # [<=CHUNK, kc]
             in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
                        & (nk[None, :] + cs[:, None] <= search_end[None, :]))
             masked = jnp.where(in_band, vals, 0.0)
@@ -141,25 +153,27 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
         total_harms = total_harms + found_eff.astype(jnp.int32)
     longest_run = jnp.maximum(longest_run, current_run)
 
-    # Gates (stft.rs:479-481,536-544).
-    low_fund = fund_mag < noise_floor * 5.0
-    struct_fail = (longest_run < 3) & (fund_mag < 15.0 * noise_floor)
+    # Gates (stft.rs:479-481,536-544) — all on the [kc] candidate band.
+    peak_c = is_peak[:kc]
+    floor_c = noise_floor[:kc]
+    low_fund = fund_mag < floor_c * 5.0
+    struct_fail = (longest_run < 3) & (fund_mag < 15.0 * floor_c)
     log_score = jnp.log2(0.5 + score)
     struct_mult = (1.0 + longest_run.astype(jnp.float32)
                    + total_harms.astype(jnp.float32) / 2.0) / (1.0 + MAX_HARMONICS)
-    scores = jnp.where(is_peak & ~low_fund & ~struct_fail & ~degenerate,
+    scores = jnp.where(peak_c & ~low_fund & ~struct_fail & ~degenerate[:kc],
                        log_score * struct_mult, 0.0)
 
     # ── cutoff at 50% of max (stft.rs:547-562) ──────────────────────────
-    peak_scores = jnp.where(is_peak, scores, 0.0)
+    peak_scores = jnp.where(peak_c, scores, 0.0)
     max_score = jnp.max(jnp.maximum(peak_scores, 0.0))
     cutoff = max_score * 0.5
-    cand_mask = is_peak & (scores >= cutoff) & (max_score > 0.0)
+    cand_mask = peak_c & (scores >= cutoff) & (max_score > 0.0)
 
     # Top-K by score (desc, ties → lower bin) — stands in for the sort.
     top_vals, top_idx = jax.lax.top_k(jnp.where(cand_mask, scores, -jnp.inf), TOP_K)
     cvalid = top_vals > -jnp.inf
-    cfrac = frac_bin[top_idx]
+    cfrac = frac_c[top_idx]
     cfreq = cfrac * bin_width
 
     # ── harmonic-ghost suppression (stft.rs:564-589) ─────────────────────
