@@ -44,8 +44,14 @@ def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
                          return_floor: bool = False):
     """Pre-framed audio [N, window] → pitch pipeline outputs + new states."""
     mags = windowed_mags(frames, window, backend=backend)
-    nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags, global_floor)
     bin_width = float(np.float32(sample_rate) / np.float32(window))
+    # Band the floor recurrence to the pitch candidate bins unless the
+    # caller wants the full floor surface (devtools) — output-exact, ~2.2x
+    # less scan work (see noisefloor.noise_floor_scan).
+    band = (None if return_floor
+            else pitch_ops.candidate_band(bin_width, window // 2 + 1))
+    nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags,
+                                                      global_floor, band)
     pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width)
     tr_state, (sf, ss, sv) = tracker.tracker_scan(
         tr_state, pf.freqs, pf.scores, pf.valid, onsets)

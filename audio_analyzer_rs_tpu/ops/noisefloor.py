@@ -64,19 +64,47 @@ def _step(state: NoiseFloorState, mags: jax.Array, global_floor: jax.Array):
     return new_state, effective
 
 
-@jax.jit
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("band",))
 def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
-                     global_floor: jax.Array):
-    """mags [N, H], global_floor [N] → (final state, effective_floor [N, H]).
+                     global_floor: jax.Array, band: int | None = None):
+    """mags [N, H], global_floor [N] → (final state, effective_floor [N, B]).
 
     global_floor is the linear global floor derived from the AGC's
     noise_floor_db: 10^(db/20) * half_size / 2 (ref stft.rs:322-324).
+
+    `band` (static): run the recurrence on the first `band` bins only and
+    pass the carried state above it through frozen — B = band.  Floors
+    at/above the pitch candidate band (`ops.pitch.candidate_band`) are
+    unobservable in pitch extraction (peaks and harmonic matches both
+    require bins below the 10 kHz cap), so banding is output-exact there
+    and ~2.2x cheaper.  Use band=None whenever the full-width floor itself
+    is consumed (devtools visualization).
     """
+    half = mags.shape[-1]
+    if band is None or band >= half:
+        def body(s, inp):
+            m, g = inp
+            return _step(s, m, g)
+        return jax.lax.scan(body, state, (mags, global_floor),
+                            unroll=SCAN_UNROLL)
+
+    sub = NoiseFloorState(state.floor[:band], state.prev_mag[:band],
+                          state.volatility[:band], state.initialized)
+
     def body(s, inp):
         m, g = inp
         return _step(s, m, g)
-    return jax.lax.scan(body, state, (mags, global_floor),
-                        unroll=SCAN_UNROLL)
+    sub, eff = jax.lax.scan(body, sub, (mags[:, :band], global_floor),
+                            unroll=SCAN_UNROLL)
+    new_state = NoiseFloorState(
+        jnp.concatenate([sub.floor, state.floor[band:]]),
+        jnp.concatenate([sub.prev_mag, state.prev_mag[band:]]),
+        jnp.concatenate([sub.volatility, state.volatility[band:]]),
+        sub.initialized)
+    return new_state, eff
 
 
 def global_floor_linear(noise_floor_db, half_size: int):

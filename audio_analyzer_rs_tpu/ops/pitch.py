@@ -45,20 +45,34 @@ class PitchFrame(NamedTuple):
 def _extract_single(mags: jax.Array, noise_floor: jax.Array,
                     bin_width: float, min_bin: int, max_bin: int,
                     min_freq: float, max_freq: float) -> PitchFrame:
-    """One frame: mags [H], floor [H] → up to 8 (freq, score) pitches."""
+    """One frame: mags [H], floor [>=kc] → up to 8 (freq, score) pitches.
+
+    Everything except the padded harmonic-read spectrum runs on the [kc]
+    candidate band (kc ≈ the 10 kHz bin): peaks, interpolation, comb
+    state, gates, and top-k.  Bins at/above max_bin can never be peaks —
+    and the reference requires harmonic matches to be peaks too
+    (ref stft.rs:517-521) — so outputs are bit-identical to full-width.
+    `noise_floor` may be the full [H] floor or just its [kc] prefix (the
+    banded noise-floor scan)."""
     half = mags.shape[0]
-    k = jnp.arange(half, dtype=jnp.int32)
+    # Static candidate band width; at least TOP_K so the top_k below is
+    # well-formed, at most half-1 so the right-neighbor shift stays in
+    # bounds (max_bin <= half-2 guarantees masked-out extras only).
+    kc = min(half - 1, max(max_bin, TOP_K))
+    k_c = jnp.arange(kc, dtype=jnp.int32)
+    m_c = mags[:kc]
+    nf_c = noise_floor[:kc]
 
     # ── local peaks above the floor (ref stft.rs:461-469) ────────────────
-    m_l = jnp.concatenate([mags[:1], mags[:-1]])
-    m_r = jnp.concatenate([mags[1:], mags[-1:]])
-    in_range = (k >= min_bin + 1) & (k < max_bin)
-    is_peak = in_range & (mags > noise_floor) & (mags >= m_l) & (mags >= m_r)
+    m_l = jnp.concatenate([m_c[:1], m_c[:-1]])
+    m_r = mags[1:kc + 1]
+    in_range = (k_c >= min_bin + 1) & (k_c < max_bin)
+    is_peak = in_range & (m_c > nf_c) & (m_c >= m_l) & (m_c >= m_r)
 
     # ── parabolic sub-bin interpolation in log-magnitude (stft.rs:484-497)
-    y = jnp.log(mags)
+    y = jnp.log(m_c)
     y_l = jnp.concatenate([y[:1], y[:-1]])
-    y_r = jnp.concatenate([y[1:], y[-1:]])
+    y_r = jnp.log(mags[1:kc + 1])
     denom = y_l - 2.0 * y + y_r
     delta = jnp.where(jnp.abs(denom) < 1e-30, 0.0,
                       jnp.clip(0.5 * (y_l - y_r) / denom, -1.0, 1.0))
@@ -71,7 +85,7 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     # peak).
     degenerate = ~jnp.isfinite(delta)
     delta = jnp.where(degenerate, 0.0, delta)
-    frac_bin = k.astype(jnp.float32) + delta
+    frac_c = k_c.astype(jnp.float32) + delta
 
     # ── harmonic comb scoring, all candidate bins in parallel
     # (stft.rs:499-545).  TPU-critical restructure: dynamic gathers (mags
@@ -89,17 +103,12 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     # the comb runs on the [kc] candidate band only: ~2.2x less compute and
     # HBM slab than full-width, with harmonics still read from the full
     # padded spectrum.
-    pm = jnp.where(is_peak, mags, 0.0)
+    pm = jnp.where(is_peak, m_c, 0.0)       # [kc]; zero everywhere >= kc
     front = MAX_HARMONICS + 2
-    pad_len = front + half * MAX_HARMONICS + 2 * MAX_HARMONICS + 4
-    pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + half].set(pm)
+    pad_len = front + kc * MAX_HARMONICS + 2 * MAX_HARMONICS + 4
+    pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + kc].set(pm)
 
-    # Static candidate band width; at least TOP_K so the top_k below is
-    # well-formed (bins in [max_bin, kc) can never be peaks → masked out).
-    kc = min(half, max(max_bin, TOP_K))
-    k_c = k[:kc]
-    frac_c = frac_bin[:kc]
-    fund_mag = mags[:kc]
+    fund_mag = m_c
     score = fund_mag
     last = k_c
     longest_run = jnp.zeros((kc,), jnp.int32)
@@ -154,21 +163,19 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     longest_run = jnp.maximum(longest_run, current_run)
 
     # Gates (stft.rs:479-481,536-544) — all on the [kc] candidate band.
-    peak_c = is_peak[:kc]
-    floor_c = noise_floor[:kc]
-    low_fund = fund_mag < floor_c * 5.0
-    struct_fail = (longest_run < 3) & (fund_mag < 15.0 * floor_c)
+    low_fund = fund_mag < nf_c * 5.0
+    struct_fail = (longest_run < 3) & (fund_mag < 15.0 * nf_c)
     log_score = jnp.log2(0.5 + score)
     struct_mult = (1.0 + longest_run.astype(jnp.float32)
                    + total_harms.astype(jnp.float32) / 2.0) / (1.0 + MAX_HARMONICS)
-    scores = jnp.where(peak_c & ~low_fund & ~struct_fail & ~degenerate[:kc],
+    scores = jnp.where(is_peak & ~low_fund & ~struct_fail & ~degenerate,
                        log_score * struct_mult, 0.0)
 
     # ── cutoff at 50% of max (stft.rs:547-562) ──────────────────────────
-    peak_scores = jnp.where(peak_c, scores, 0.0)
+    peak_scores = jnp.where(is_peak, scores, 0.0)
     max_score = jnp.max(jnp.maximum(peak_scores, 0.0))
     cutoff = max_score * 0.5
-    cand_mask = peak_c & (scores >= cutoff) & (max_score > 0.0)
+    cand_mask = is_peak & (scores >= cutoff) & (max_score > 0.0)
 
     # Top-K by score (desc, ties → lower bin) — stands in for the sort.
     top_vals, top_idx = jax.lax.top_k(jnp.where(cand_mask, scores, -jnp.inf), TOP_K)
@@ -205,11 +212,21 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     return PitchFrame(out_freq, out_score, out_valid)
 
 
+def candidate_band(bin_width: float, half: int,
+                   max_freq: float = MAX_FREQ) -> int:
+    """Static width of the fundamental-candidate band (the `kc` of
+    `_extract_single`): the noise-floor scan only needs to run on this many
+    bins because floors at/above it are unobservable in pitch extraction."""
+    max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)
+    return min(half - 1, max(max_bin, TOP_K))
+
+
 @partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq"))
 def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
                     bin_width: float, min_freq: float = MIN_FREQ,
                     max_freq: float = MAX_FREQ) -> PitchFrame:
-    """Batched pitch extraction: mags [N, H], floor [N, H] → PitchFrame [N, 8]."""
+    """Batched pitch extraction: mags [N, H], floor [N, H] or [N, kc]
+    (see `candidate_band`) → PitchFrame [N, 8]."""
     half = mags.shape[-1]
     min_bin = max(int(np.ceil(min_freq / bin_width)), 1)
     max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)

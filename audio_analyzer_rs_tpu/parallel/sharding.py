@@ -75,8 +75,9 @@ def _single_stream_step(states: StreamStates, audio, sample_rate: float,
     gf_db = douts.noise_floor_db[-1]
     gfp = jnp.broadcast_to(noisefloor.global_floor_linear(gf_db, half),
                            (pframes.shape[0],))
-    nf, eff = noisefloor.noise_floor_scan(states.nf, pmags, gfp)
     bin_width = sample_rate / PITCH_WINDOW
+    nf, eff = noisefloor.noise_floor_scan(
+        states.nf, pmags, gfp, pitch_ops.candidate_band(bin_width, half))
     pf = pitch_ops.extract_pitches(pmags, eff, bin_width)
     tr, (sf, ss, sv) = tracker.tracker_scan(
         states.tr, pf.freqs, pf.scores, pf.valid,
