@@ -96,3 +96,80 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_classroom_batched_analysis_drives_practice_feedback():
+    """BASELINE config #5, end to end: one sharded device step analyzes a
+    classroom of 8 student streams at once; each stream's pitch outputs
+    drive that student's own host practice session, and every student's
+    feedback reflects their own playing (correct / wrong note / silent)."""
+    from audio_analyzer_rs_tpu.models import generators as gen
+    from audio_analyzer_rs_tpu.practice.buffer import MeasureBuffer
+    from audio_analyzer_rs_tpu.practice.clock import ClockConfig, ClockManager
+    from audio_analyzer_rs_tpu.practice.conditioner import InputConditioner
+    from audio_analyzer_rs_tpu.practice.mode import ModeController, TickInputs
+    from audio_analyzer_rs_tpu.practice.types import TunerFrame
+    from audio_analyzer_rs_tpu.transport import MusicalTransport
+    from audio_analyzer_rs_tpu.utils.midi import Measure, SynthNote
+
+    sr = 48000.0
+    batch = 8
+    chunk = 48 * 1024            # ~1 s per step → ~93 pitch frames
+    # Students 0-2 play the expected C4, 3-5 play E4 (wrong note), 6-7 rest.
+    freqs = [261.63] * 3 + [329.63] * 3 + [None] * 2
+
+    def perf(f):
+        x = np.zeros(chunk, np.float32)
+        if f is not None:
+            tone = gen.tone_with_harmonics(f, 1.0, sr, harmonics=6,
+                                           amplitude=0.35)
+            x[:len(tone)] += tone[:chunk]
+        return x
+
+    audio = np.stack([perf(f) for f in freqs])
+    mesh = make_mesh()
+    step = make_batched_full_step(mesh, sr)
+    states = init_stream_states(batch)
+    sh = batch_sharding(mesh)
+    states = jax.device_put(states, jax.tree.map(lambda _: sh, states))
+    states, out = step(states, jax.device_put(audio, sh))
+    sf = np.asarray(out.stable_freqs)        # [B, Np, 8]
+    sv = np.asarray(out.stable_valid)
+
+    ref = Measure(notes=[SynthNote(freq=261.63, start_beat_in_measure=0.0,
+                                   duration_beats=1.0, velocity=0.5,
+                                   instrument="Piano")],
+                  time_signature=(4, 4), bpm=120.0, global_start_beat=0.0)
+
+    def run_session(b):
+        transport = MusicalTransport(120.0, sr)
+        transport.play()
+        mc = ModeController("Performance", "Intermediate", transport,
+                            InputConditioner(transport),
+                            MeasureBuffer([ref], 0, 0),
+                            ClockManager(transport, ClockConfig(), 120.0), 0)
+        bps = 120.0 / 60.0
+        for i in range(sf.shape[1]):
+            beat = (i * 512 + 2048) / sr * bps
+            notes = []
+            for f, v in zip(sf[b, i], sv[b, i]):
+                if v:
+                    midi_f = 69.0 + 12.0 * np.log2(f / 440.0)
+                    midi = int(round(midi_f))
+                    notes.append((midi, (midi_f - midi) * 100.0))
+            tf = TunerFrame(notes=notes, tuner_beat=beat) if notes else None
+            mc.tick(TickInputs(transport_beat=beat, tuner_frame=tf,
+                               new_onsets=[], dynamic_level=-1))
+        mc.tick(TickInputs(transport_beat=5.0, tuner_frame=None,
+                           new_onsets=[], dynamic_level=-1))   # age measure
+        return [fb.error_type for fb in mc.feedback]
+
+    for b in range(batch):
+        kinds = run_session(b)
+        if b <= 2:       # correct students: matched, no wrong/missing notes
+            assert "None" in kinds and "WrongNote" not in kinds, (b, kinds)
+            assert "MissingNote" not in kinds, (b, kinds)
+        elif b <= 5:     # wrong-note students
+            assert "WrongNote" in kinds, (b, kinds)
+        else:            # silent students
+            assert "MissingNote" in kinds, (b, kinds)
