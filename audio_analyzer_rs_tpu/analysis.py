@@ -74,15 +74,27 @@ class AnalysisArrays:
     onsets: List[dict]            # {"time_s", "frame", "velocity"}
 
 
+def _onset_events(fired: np.ndarray, velocity: np.ndarray,
+                  sample_rate: float) -> List[dict]:
+    """Onset frame flags → event dicts (shared frame→time convention)."""
+    return [{"time_s": (int(i) * ONSET_HOP + ONSET_WINDOW // 2) / sample_rate,
+             "frame": int(i), "velocity": float(velocity[i])}
+            for i in np.flatnonzero(fired)]
+
+
 def analyze_buffer(audio: np.ndarray, sample_rate: float,
                    backend: str = DEFAULT_BACKEND,
                    global_floor_db: float = -96.0,
                    as_arrays: bool = False):
-    """Analyze a mono float32 buffer with the full TPU pipeline.
+    """Analyze a mono buffer (float32, or int16 scaled by 1/32768 like
+    utils.wav) with the full TPU pipeline.
 
     Returns AnalysisResult (a list of per-frame structs) by default, or the
     columnar AnalysisArrays when `as_arrays=True`."""
-    audio = np.asarray(audio, dtype=np.float32)
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / np.float32(32768.0)
+    audio = audio.astype(np.float32, copy=False)
     pa = PitchAnalyzer(sample_rate, backend=backend)
     out = pa.process(audio, global_floor_db=global_floor_db)
     n = 0 if out is None else len(out.mags)
@@ -90,12 +102,8 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
     oa = OnsetAnalyzer(sample_rate, backend=backend)
     oout = oa.process(audio, global_floor_db=global_floor_db)
 
-    onsets: List[dict] = []
-    if oout is not None:
-        for i in np.nonzero(oout.fired)[0]:
-            center = int(i) * ONSET_HOP + ONSET_WINDOW // 2
-            onsets.append({"time_s": center / sample_rate, "frame": int(i),
-                           "velocity": float(oout.velocity[i])})
+    onsets: List[dict] = ([] if oout is None else
+                          _onset_events(oout.fired, oout.velocity, sample_rate))
 
     frames: List[FrameFeatures] = []
     feats = yin = None
@@ -180,17 +188,18 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
                                    segmented_pitch_analysis)
 
     # int16 input is accepted and uploaded raw (half the host→device
-    # bytes; converted on device, bit-identical to host conversion).
+    # bytes; converted on device, bit-identical to host conversion).  The
+    # upload happens exactly ONCE — it dominates end-to-end for long
+    # recordings, so the onset/pitch segmented passes and the feature loop
+    # all share the same device-resident array.
     audio = _as_host_audio(audio)
+    audio_dev = _upload_f32(audio)
     n = num_frames(len(audio), PITCH_WINDOW, PITCH_HOP)
 
     fired, vel, _, _ = segmented_onset_analysis(
         audio, sample_rate, segments=segments, backend=backend,
-        global_floor_db=global_floor_db)
-    onsets = [{"time_s": (int(i) * ONSET_HOP + ONSET_WINDOW // 2)
-               / sample_rate,
-               "frame": int(i), "velocity": float(vel[i])}
-              for i in np.flatnonzero(fired)]
+        global_floor_db=global_floor_db, device_audio=audio_dev)
+    onsets = _onset_events(fired, vel, sample_rate)
 
     def z(shape=(0,), dt=np.float32):
         return np.zeros(shape, dt)
@@ -206,7 +215,7 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
 
     sf, ss, sv = segmented_pitch_analysis(
         audio, sample_rate, segments=segments, backend=backend,
-        global_floor_db=global_floor_db)
+        global_floor_db=global_floor_db, device_audio=audio_dev)
 
     # Stateless per-frame stages, chunked to bound device memory (an hour of
     # audio framed at once is ~2.5 GB; YIN's padded FFT doubles that).  Each
@@ -218,7 +227,6 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
     cols = {k: [] for k in ("rms", "energy", "centroid_hz", "rolloff_hz",
                             "flux", "f0", "voiced")}
     specs = []
-    audio_dev = _upload_f32(audio)
     step = feature_chunk_frames
     for c0 in range(0, n, step):
         c1 = min(c0 + step, n)

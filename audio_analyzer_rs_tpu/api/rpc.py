@@ -182,6 +182,10 @@ class RpcServer:
         srv.bind((host, port))
         srv.listen(1)
         self.tcp_port = srv.getsockname()[1]
+        # Announce the bound address — with port=0 (ephemeral) an external
+        # client has no other way to discover where to connect.
+        print(f"rpc: listening on {host}:{self.tcp_port}",
+              file=sys.stderr, flush=True)
         try:
             served = 0
             while max_clients is None or served < max_clients:
@@ -199,13 +203,23 @@ class RpcServer:
 
 
 def main() -> None:
-    """``python -m audio_analyzer_rs_tpu.api.rpc [--tcp HOST:PORT]``"""
+    """``python -m audio_analyzer_rs_tpu.api.rpc [--tcp [HOST:]PORT]``
+
+    With ``--tcp`` the bound address is announced on stderr (port 0 binds
+    an ephemeral port).  A bare number is a port on 127.0.0.1."""
     args = sys.argv[1:]
     if args and args[0] == "--tcp":
-        host, _, port = (args[1] if len(args) > 1 else "127.0.0.1:0"
-                         ).rpartition(":")
-        server = RpcServer()
-        server.serve_tcp(host or "127.0.0.1", int(port or 0))
+        spec = args[1] if len(args) > 1 else "127.0.0.1:0"
+        if ":" in spec:
+            host, _, port = spec.rpartition(":")
+            host = host or "127.0.0.1"
+        else:
+            host, port = "127.0.0.1", spec
+        if not port.isdigit():
+            print(f"rpc: invalid --tcp address {spec!r} "
+                  f"(expected [HOST:]PORT)", file=sys.stderr)
+            sys.exit(2)
+        RpcServer().serve_tcp(host, int(port))
     else:
         RpcServer().serve_stdio()
 

@@ -183,17 +183,23 @@ def cmd_play(in_path: str, out_path: str, seek: float = 0.0) -> None:
         player.seek(seek)
     player.play()
     chunks = []
+    total = 0
     orig = e._output_callback
 
     def capture(buf):
+        nonlocal total
         orig(buf)
         chunks.append(buf.copy())
+        total += len(buf)
     e.device.output_callback = capture
+    e.advance(0.25)   # processes the Play command before polling state
+    # `playing` drops when the cursor passes the decoded track end
+    # (models/player.py process); `finished` is only set by stop_player.
     while (e.active_player is not None
-           and not player._controller._player.is_finished()):
+           and player._controller._player.playing
+           and total <= int(e.sample_rate) * 3600):
         e.advance(0.25)
-        if sum(len(c) for c in chunks) > int(e.sample_rate) * 3600:
-            break   # hard cap: one hour of render
+    e.stop_player()
     audio = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
     wav.write_wav(out_path, audio, int(e.sample_rate))
     print(f"played {in_path} -> {out_path} "

@@ -146,7 +146,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              hop: int = PITCH_HOP,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
-                             mesh=None):
+                             mesh=None, device_audio=None):
     """Analyze one long mono buffer with S parallel segments.
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
@@ -204,8 +204,14 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     chunk_samples = (chunk_frames - 1) * hop + window
     stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
     max_sample = int(stream_start.max()) * hop + stream_samples
-    audio_dev = _upload_f32(
-        np.pad(audio, (0, max(0, max_sample - len(audio)))))
+    if device_audio is not None:
+        # Caller already uploaded the recording (float32, len(audio)
+        # samples): pad on device instead of paying a second upload.
+        audio_dev = jnp.pad(device_audio,
+                            (0, max(0, max_sample - len(audio))))
+    else:
+        audio_dev = _upload_f32(
+            np.pad(audio, (0, max(0, max_sample - len(audio)))))
     seg_streams = _slice_streams(
         audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
         stream_samples)
@@ -270,7 +276,7 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
                              hop: int = ONSET_HOP,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
-                             mesh=None):
+                             mesh=None, device_audio=None):
     """Segment-parallel offline onset detection over one long mono buffer.
 
     Same warmup-overlap scheme as `segmented_pitch_analysis`; segment 0 is
@@ -317,8 +323,14 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     chunk_samples = (chunk_frames - 1) * hop + window
     stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
     max_sample = int(stream_start.max()) * hop + stream_samples
-    audio_dev = _upload_f32(
-        np.pad(audio, (0, max(0, max_sample - len(audio)))))
+    if device_audio is not None:
+        # Caller already uploaded the recording (float32, len(audio)
+        # samples): pad on device instead of paying a second upload.
+        audio_dev = jnp.pad(device_audio,
+                            (0, max(0, max_sample - len(audio))))
+    else:
+        audio_dev = _upload_f32(
+            np.pad(audio, (0, max(0, max_sample - len(audio)))))
     seg_streams = _slice_streams(
         audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
         stream_samples)

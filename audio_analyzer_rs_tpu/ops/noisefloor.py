@@ -99,9 +99,18 @@ def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
         return _step(s, m, g)
     sub, eff = jax.lax.scan(body, sub, (mags[:, :band], global_floor),
                             unroll=SCAN_UNROLL)
+    # Above-band state: frozen while banded, but seed it once with the
+    # first-frame rule on an uninitialized state (ref stft.rs:326-331).
+    # Without this, switching the same state to a full-width scan later
+    # (attaching the debug recorder mid-stream) would start the above-band
+    # floors from zero instead of a plausible frame-seeded value.
+    seed_floor = jnp.maximum(mags[0, band:], global_floor[0] * 5.0)
+    tail_floor = jnp.where(state.initialized, state.floor[band:], seed_floor)
+    tail_prev = jnp.where(state.initialized, state.prev_mag[band:],
+                          mags[0, band:])
     new_state = NoiseFloorState(
-        jnp.concatenate([sub.floor, state.floor[band:]]),
-        jnp.concatenate([sub.prev_mag, state.prev_mag[band:]]),
+        jnp.concatenate([sub.floor, tail_floor]),
+        jnp.concatenate([sub.prev_mag, tail_prev]),
         jnp.concatenate([sub.volatility, state.volatility[band:]]),
         sub.initialized)
     return new_state, eff

@@ -1,7 +1,8 @@
 /* See engine_client.h.  POSIX-only (fork/pipe), like the reference's
- * desktop targets.  engine_client_spawn sets SIGPIPE to SIG_IGN for the
- * process: writes to a dead engine must surface as EPIPE (-1 with an error
- * message) rather than kill the embedding application. */
+ * desktop targets.  engine_client_spawn sets SIGPIPE to SIG_IGN iff the
+ * application left it at SIG_DFL: writes to a dead engine must surface as
+ * EPIPE (-1 with an error message) rather than kill the embedding
+ * application, but an installed handler is never clobbered. */
 
 #define _POSIX_C_SOURCE 200809L
 
@@ -36,8 +37,13 @@ static void close_pair(int fds[2]) {
 
 EngineClient* engine_client_spawn(const char* python_exe,
                                   const char* repo_root) {
-    /* A write to a pipe whose reader died must not kill the host app. */
-    signal(SIGPIPE, SIG_IGN);
+    /* A write to a pipe whose reader died must not kill the host app —
+     * but only take over the disposition if the application hasn't
+     * installed its own handler. */
+    struct sigaction sa;
+    if (sigaction(SIGPIPE, NULL, &sa) == 0 && sa.sa_handler == SIG_DFL) {
+        signal(SIGPIPE, SIG_IGN);
+    }
 
     int in_pipe[2] = {-1, -1}, out_pipe[2] = {-1, -1};
     int status_pipe[2] = {-1, -1};   /* CLOEXEC: reports exec failure */

@@ -86,3 +86,16 @@ def test_package_exports():
     assert aat.AudioEngine is not None
     assert aat.PitchAnalyzer is not None
     assert aat.MusicalTransport is not None
+
+
+def test_analyze_buffer_accepts_int16():
+    """Both entry points must interpret int16 identically (scaled 1/32768,
+    like utils.wav) — not silently treat raw sample values as floats."""
+    x = gen.tone_with_harmonics(220.0, 1.0, SR, harmonics=6, amplitude=0.4)
+    i16 = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+    a = aat.analyze_buffer(f32, SR, as_arrays=True)
+    b = aat.analyze_buffer(i16, SR, as_arrays=True)
+    np.testing.assert_array_equal(a.rms, b.rms)
+    np.testing.assert_array_equal(a.stable_freqs, b.stable_freqs)
+    assert a.onsets == b.onsets

@@ -47,6 +47,9 @@ def test_cli_play_renders_file(tmp_path, capsys):
     data, sr, ch = wav.read_wav(out)
     # Resampled 44.1k → 48k device rate; content preserved, then silence.
     assert np.abs(data).max() > 0.2
+    # Terminates promptly at track end (playback-finished detection), not
+    # at the hour hard-cap.
+    assert len(data) < sr * 5, len(data) / sr
     assert "played" in capsys.readouterr().out
 
 

@@ -233,3 +233,20 @@ def test_process_internal_chunking_is_transparent():
     np.testing.assert_array_equal(one.stable_valid, many.stable_valid)
     np.testing.assert_array_equal(one.raw_freqs, many.raw_freqs)
     np.testing.assert_array_equal(one.mags, many.mags)
+
+
+def test_banded_floor_seeds_above_band_state():
+    """A banded scan on a fresh state must seed the above-band floor with
+    the first-frame rule (not leave it zero with initialized=True), so a
+    later full-width scan — attaching the debug recorder mid-stream —
+    starts from plausible floors."""
+    band = 464
+    mags = (np.random.default_rng(3).random((20, HALF)) * 5.0 + 1.0
+            ).astype(np.float32)
+    gf = np.full(20, 0.5, np.float32)
+    state = noisefloor.init_state(HALF)
+    state, _ = noisefloor.noise_floor_scan(state, mags, gf, band)
+    above = np.asarray(state.floor[band:])
+    np.testing.assert_array_equal(
+        above, np.maximum(mags[0, band:], gf[0] * 5.0))
+    assert np.asarray(state.prev_mag[band:]).min() > 0.0
