@@ -11,7 +11,7 @@ Usage:
   python -m audio_analyzer_rs_tpu.cli tuner <audio>
   python -m audio_analyzer_rs_tpu.cli onset <audio>
   python -m audio_analyzer_rs_tpu.cli analyze <audio> [out.jsonl]
-      [--segments N]    # bulk offline analysis -> JSONL per-frame features
+      [--segments N|auto]  # bulk offline analysis -> JSONL per-frame features
   python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
   python -m audio_analyzer_rs_tpu.cli met <bpm> <seconds> <out.wav>
   python -m audio_analyzer_rs_tpu.cli play <in-audio> <out.wav> [--seek S]
@@ -82,16 +82,17 @@ def cmd_onset(path: str) -> None:
 
 
 def cmd_analyze(path: str, out_path: str | None = None,
-                segments: int = 1) -> None:
+                segments: int | None = 1) -> None:
     """Bulk offline analysis → JSONL (one line per frame + one onset list).
 
-    --segments N uses the segment-parallel pipelines for the stable pitches
-    and onsets (the TPU bulk path; ~>99% frame agreement with sequential).
+    --segments N (or `auto`) uses the segment-parallel pipelines for the
+    stable pitches and onsets (the TPU bulk path; ~>99% frame agreement
+    with sequential; `auto` scales the count to the recording length).
     """
     from . import analysis
 
     audio, sr = _load_mono(path)
-    if segments > 1:
+    if segments is None or segments > 1:
         # Segment-parallel bulk path: never runs the sequential scans.
         arr = analysis.analyze_buffer_segmented(audio, sr, segments=segments)
     else:
@@ -337,8 +338,9 @@ def _dispatch(cmd, pos, kwargs) -> None:
     elif cmd == "onset":
         cmd_onset(pos[0])
     elif cmd == "analyze":
+        seg = kwargs.get("segments", "1")
         cmd_analyze(pos[0], pos[1] if len(pos) > 1 else None,
-                    segments=int(kwargs.get("segments", 1)))
+                    segments=None if seg == "auto" else int(seg))
     elif cmd == "rec":
         cmd_rec(pos[0], pos[1])
     elif cmd == "met":
