@@ -180,3 +180,46 @@ def test_dynamics_range_used():
     r = compute([m])
     assert r["dynamics_range_used"] == ("p", "ff")
     assert compute([md()])["dynamics_range_used"] == ("n/a", "n/a")
+
+
+def test_num_notes_missed_counts_unmatched(  # ref metrics.rs num_notes_missed_counts_unmatched_expected_notes
+        ):
+    m = md(onsets=[onset(0.0)], notes=[note_event(0.0, 60, 0.0)],
+           expected_notes=[expected(0.0, 60, 1.0), expected(1.0, 64, 1.0),
+                           expected(2.0, 67, 1.0)])
+    assert compute([m])["num_notes_missed"] == 2
+
+
+def test_avg_cent_dev_zero_when_no_notes():
+    # ref metrics.rs avg_cent_dev_zero_when_no_notes
+    assert abs(compute([md()])["avg_cent_dev"]) < 1e-9
+
+
+def test_tempo_stability_less_than_one_with_variance():
+    # ref metrics.rs tempo_stability_less_than_one_with_variance: measures
+    # played at different effective tempos lower the 1-CV stability.
+    def measure_at_ratio(idx, start, ratio):
+        # Two matched notes spanning the measure at the given time ratio.
+        return md(measure_index=idx,
+                  onsets=[onset(start + 0.0 * ratio),
+                          onset(start + 2.0 * ratio)],
+                  notes=[note_event(start + 0.0 * ratio, 60, 0.0),
+                         note_event(start + 2.0 * ratio, 64, 0.0)],
+                  expected_notes=[expected(start + 0.0, 60, 1.0),
+                                  expected(start + 2.0, 64, 1.0)])
+    steady = compute([measure_at_ratio(0, 0.0, 1.0),
+                      measure_at_ratio(1, 4.0, 1.0)])
+    varied = compute([measure_at_ratio(0, 0.0, 1.0),
+                      measure_at_ratio(1, 4.0, 1.1)])
+    assert abs(steady["tempo_stability"] - 1.0) < 1e-9
+    assert varied["tempo_stability"] < steady["tempo_stability"]
+
+
+def test_compute_all_notes_missed():
+    # ref metrics.rs metrics_compute_all_notes_missed
+    m = md(expected_notes=[expected(0.0, 60, 1.0), expected(1.0, 64, 1.0),
+                           expected(2.0, 67, 1.0)])
+    r = compute([m])
+    assert abs(r["accuracy_percent"]) < 1e-9
+    assert r["num_notes_missed"] == 3
+    assert abs(r["avg_cent_dev"]) < 1e-9
