@@ -168,3 +168,52 @@ def adsr_envelope(n: int, sample_rate: float, attack_sec: float,
                 t < sustain_end, sustain_level,
                 np.maximum(sustain_level - (t - sustain_end) * r_rate, 0.0))))
     return env.astype(np.float32)
+
+
+def mixed_scene(duration_s: float, sample_rate: float,
+                seed: int = 0) -> np.ndarray:
+    """Deterministic realistic test scene: melody notes with harmonics,
+    percussion bursts, noise beds of varying level, and silent gaps.
+
+    The canonical input for agreement/divergence measurements
+    (tools/agreement_1h.py, tests/test_fullchain_divergence.py): it moves
+    the AGC and noise floors around, fires onsets, and exercises the pitch
+    tracker across register changes.  Rendered in 10 s sections so hour
+    scale scenes stream out of a modest allocation.
+    """
+    rng = np.random.default_rng(seed)
+    n = int(round(duration_s * sample_rate))
+    x = np.zeros(n, dtype=np.float32)
+    scale = [220.0, 246.94, 261.63, 293.66, 329.63, 349.23, 392.0, 440.0,
+             493.88, 523.25]
+    section = int(10.0 * sample_rate)
+    for s0 in range(0, n, section):
+        s1 = min(s0 + section, n)
+        kind = rng.integers(0, 4)
+        if kind == 0:              # melody over a quiet bed
+            x[s0:s1] += (rng.standard_normal(s1 - s0) * 1e-4).astype(np.float32)
+            t = 0.0
+            while (s0 + int((t + 0.5) * sample_rate)) < s1:
+                f = scale[int(rng.integers(0, len(scale)))]
+                tone = tone_with_harmonics(f, 0.45, sample_rate, harmonics=6,
+                                           amplitude=0.3 + 0.1 * rng.random())
+                lo = s0 + int(t * sample_rate)
+                m = min(len(tone), s1 - lo)
+                x[lo:lo + m] += tone[:m]
+                t += 0.5
+        elif kind == 1:            # percussion
+            x[s0:s1] += (rng.standard_normal(s1 - s0) * 3e-4).astype(np.float32)
+            t = 0.1
+            while (s0 + int(t * sample_rate)) < s1 - section // 20:
+                burst = noise_burst(0.5 + 0.2 * rng.random(), 20.0,
+                                    sample_rate, seed=int(seed + t * 997))
+                lo = s0 + int(t * sample_rate)
+                m = min(len(burst), s1 - lo)
+                x[lo:lo + m] += burst[:m]
+                t += 0.4 + 0.2 * rng.random()
+        elif kind == 2:            # noise bed (room noise level shifts)
+            level = 10.0 ** (-rng.uniform(35.0, 60.0) / 20.0)
+            x[s0:s1] += (rng.standard_normal(s1 - s0) * level
+                         ).astype(np.float32)
+        # kind == 3: silence
+    return x

@@ -11,10 +11,12 @@ device program, so two modes are provided:
 
 * ``exact``  — sort-based percentiles inside the scan (bit-faithful to the
   reference's index choices; use for parity tests / short audio).
-* ``hist``   — incremental 512-bucket dB histogram percentiles, O(buckets)
-  per slot.  Percentile values quantize to the bucket width (~0.37 dB over
-  a 96 dB range after subtracting index resolution) — well inside the AGC's
-  240 s smoothing time constant.  Default for long audio.
+* ``hist``   — incremental 1024-bucket dB histogram percentiles, O(buckets)
+  per slot.  Percentile values quantize to the bucket width (0.182 dB over
+  the [-180, 6] dB range) — well inside the AGC's 240 s smoothing time
+  constant.  Default for long audio.  Composed-chain divergence vs the
+  exact chain is measured in tests/test_fullchain_divergence.py and
+  tools/fullchain_divergence.py.
 
 Dynamic levels: Silence=-1, Ppp=0 … Fff=7 (ref dynamics.rs:49-77,672-686).
 """
@@ -40,8 +42,12 @@ PEAK_HEADROOM = 0.97
 
 LEVEL_NAMES = ("silence", "ppp", "pp", "p", "mp", "mf", "f", "ff", "fff")
 
-_HIST_BINS = 512
-_HIST_LO_DB = -120.0
+# Histogram range covers down to the -180 dB silence clamp (_lin_to_db's
+# 1e-9 floor): digital-silence slots land in bucket 0 at ~-179.9 dB instead
+# of clamping 60 dB high (which would poison the noise floor after silent
+# sections).  1024 buckets over 186 dB → 0.182 dB quantization.
+_HIST_BINS = 1024
+_HIST_LO_DB = -180.0
 _HIST_HI_DB = 6.0
 
 

@@ -98,6 +98,68 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_batched_step_floor_causality_matches_streaming_path():
+    """The batched full step must feed each pitch/onset frame the AGC noise
+    floor of the slot containing the frame's last sample (ref
+    src/audio_io/stft.rs:322-324 causality), exactly like the sequential
+    engine path that processes slot-by-slot.  Scene: quiet first half, loud
+    second half, so a chunk-final floor broadcast would poison early frames."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from audio_analyzer_rs_tpu.models.analyzer import OnsetAnalyzer, PitchAnalyzer
+    from audio_analyzer_rs_tpu.ops import dynamics, reducer
+    from audio_analyzer_rs_tpu.parallel.sharding import _single_stream_step
+
+    sr = 48000.0
+    slot_len = 1024
+    n_slots = 40
+    rng = np.random.default_rng(7)
+    quiet = (rng.standard_normal(n_slots // 2 * slot_len) * 1e-3)
+    loud = (rng.standard_normal(n_slots // 2 * slot_len) * 0.2)
+    audio = np.concatenate([quiet, loud]).astype(np.float32)
+
+    # Batched (sharded-step) path, unbatched single stream.
+    states = jax.tree.map(lambda a: a[0], init_stream_states(1))
+    single = partial(_single_stream_step, sample_rate=sr, slot_len=slot_len,
+                     pitch_hop=512, onset_hop=64)
+    _, (sf, sv, fired, vel, level, gf_db) = jax.jit(single)(
+        states, jnp.asarray(audio))
+
+    # Streaming oracle: identical reducer+AGC outputs, then slot-by-slot
+    # analyzer feeding with each slot's own floor (the engine cadence).
+    _, y = reducer.reduce_signal(reducer.reducer_init(), jnp.asarray(audio), sr)
+    slots = jnp.asarray(np.asarray(y)[:n_slots * slot_len]
+                        ).reshape(n_slots, slot_len)
+    _, douts, gained = dynamics.dynamics_scan(dynamics.init_state(), slots,
+                                              sr, slot_len, mode="hist")
+    floors_db = np.asarray(douts.noise_floor_db)
+    assert floors_db.max() - floors_db.min() > 6.0, "scene must move the floor"
+    gained_np = np.asarray(gained)
+
+    pa, oa = PitchAnalyzer(sr), OnsetAnalyzer(sr)
+    p_outs, o_outs = [], []
+    for k in range(n_slots):
+        po = pa.process(gained_np[k], global_floor_db=float(floors_db[k]))
+        if po is not None:
+            p_outs.append((np.asarray(po.stable_freqs),
+                           np.asarray(po.stable_valid)))
+        oo = oa.process(gained_np[k], global_floor_db=float(floors_db[k]))
+        if oo is not None:
+            o_outs.append((np.asarray(oo.fired), np.asarray(oo.velocity)))
+
+    sf_seq = np.concatenate([f for f, _ in p_outs])
+    sv_seq = np.concatenate([v for _, v in p_outs])
+    fired_seq = np.concatenate([f for f, _ in o_outs])
+    vel_seq = np.concatenate([v for _, v in o_outs])
+    assert sf_seq.shape == np.asarray(sf).shape
+    np.testing.assert_array_equal(np.asarray(sv), sv_seq)
+    np.testing.assert_allclose(np.asarray(sf), sf_seq, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fired), fired_seq)
+    np.testing.assert_allclose(np.asarray(vel), vel_seq, rtol=1e-5, atol=1e-5)
+
+
 def test_classroom_batched_analysis_drives_practice_feedback():
     """BASELINE config #5, end to end: one sharded device step analyzes a
     classroom of 8 student streams at once; each stream's pitch outputs
