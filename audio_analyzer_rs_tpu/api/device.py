@@ -49,6 +49,59 @@ class ArraySource(InputSource):
         return out
 
 
+def convert_to_f32(samples: np.ndarray) -> np.ndarray:
+    """Sample-format conversion, cpal semantics (ref mod.rs:657-713 builds
+    streams generic over f32/i16/u16): i16 maps /32768 (i16::MIN → -1.0),
+    u16 is offset-binary (32768 → 0.0)."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.float32:
+        return samples
+    if samples.dtype == np.int16:
+        return samples.astype(np.float32) / np.float32(32768.0)
+    if samples.dtype == np.uint16:
+        return ((samples.astype(np.float32) - np.float32(32768.0))
+                / np.float32(32768.0))
+    raise ValueError(f"unsupported sample format {samples.dtype} "
+                     "(expected float32, int16, or uint16)")
+
+
+def downmix_interleaved(samples: np.ndarray, channels: int) -> np.ndarray:
+    """Interleaved multichannel → mono f32, the input callback's per-frame
+    channel average (ref mod.rs:784-794 sums the frame's channels and
+    divides by the channel count)."""
+    mono = convert_to_f32(samples)
+    if channels <= 1:
+        return mono
+    usable = (len(mono) // channels) * channels
+    return mono[:usable].reshape(-1, channels).mean(axis=1,
+                                                    dtype=np.float32)
+
+
+class InterleavedSource(InputSource):
+    """Raw-format input: interleaved i16/u16/f32 frames at any channel
+    count, converted and downmixed to mono in the callback — the same math
+    the reference's generic input streams run per buffer
+    (ref mod.rs:657-806).  Plays the array, then silence."""
+
+    def __init__(self, samples: np.ndarray, channels: int = 1):
+        samples = np.asarray(samples)
+        convert_to_f32(samples[:0])   # validate dtype eagerly
+        self.samples = samples
+        self.channels = max(int(channels), 1)
+        self.pos = 0   # frame position
+
+    def next_block(self, n: int) -> np.ndarray:
+        total = len(self.samples) // self.channels
+        take = min(n, max(total - self.pos, 0))
+        out = np.zeros(n, dtype=np.float32)
+        if take:
+            lo = self.pos * self.channels
+            block = self.samples[lo:lo + take * self.channels]
+            out[:take] = downmix_interleaved(block, self.channels)
+            self.pos += take
+        return out
+
+
 class PushSource(InputSource):
     """Caller-pushed audio (like a live microphone feed)."""
 
@@ -56,8 +109,14 @@ class PushSource(InputSource):
         self._queue = deque()
         self._offset = 0
 
-    def push(self, samples: np.ndarray) -> None:
-        self._queue.append(np.asarray(samples, dtype=np.float32))
+    def push(self, samples: np.ndarray, channels: int = 1) -> None:
+        """Push interleaved audio in any supported format (f32/i16/u16,
+        any channel count); converted + downmixed like the input callback
+        (ref mod.rs:784-794)."""
+        samples = np.asarray(samples)
+        if samples.dtype == np.float64:   # convenience: plain Python floats
+            samples = samples.astype(np.float32)
+        self._queue.append(downmix_interleaved(samples, channels))
 
     def next_block(self, n: int) -> np.ndarray:
         out = np.zeros(n, dtype=np.float32)

@@ -190,6 +190,15 @@ class Player:
     def seek(self, seconds: float) -> None:
         self._controller.seek(seconds)
 
+    def is_playing(self) -> bool:
+        """True while playback is active (drops when the cursor passes the
+        decoded track end or after pause/stop)."""
+        return self._controller.is_playing()
+
+    def is_finished(self) -> bool:
+        """True once stop_player() retired this source from the mixer."""
+        return self._controller.is_finished()
+
 
 class Recording:
     """Recorder consumer (ref audio_io/recorder.rs, lib.rs:283-302).
@@ -199,13 +208,21 @@ class Recording:
     through the native FFmpeg module on stop — beyond the reference, which
     is WAV-only."""
 
+    # Flush cadence: every 8 slots, like the reference's hound writer
+    # (ref audio_io/recorder.rs:69-79) — a crash mid-recording loses at
+    # most 8 slots of audio (the data chunk survives; only the RIFF
+    # length header needs patching, same as an unflushed hound file).
+    FLUSH_EVERY_SLOTS = 8
+
     def __init__(self, path: str, sample_rate: int):
         self._path = path
         self._rate = sample_rate
         self.state = 1   # -1 stop / 0 pause / 1 run
         self._finalized = False
+        self._slots_since_flush = 0
         if path.lower().endswith(".wav"):
-            self._writer = wave_mod.open(path, "wb")
+            self._file = open(path, "wb")
+            self._writer = wave_mod.open(self._file, "wb")
             self._writer.setnchannels(1)
             self._writer.setsampwidth(2)
             self._writer.setframerate(sample_rate)
@@ -226,6 +243,10 @@ class Recording:
             return
         if self._writer is not None:
             self._writer.writeframes(quantize_i16(slot).tobytes())
+            self._slots_since_flush += 1
+            if self._slots_since_flush >= self.FLUSH_EVERY_SLOTS:
+                self._file.flush()
+                self._slots_since_flush = 0
         else:
             self._pending.append(np.asarray(slot, np.float32).copy())
 
@@ -242,6 +263,7 @@ class Recording:
         self._finalized = True
         if self._writer is not None:
             self._writer.close()
+            self._file.close()
         else:
             from .. import runtime as native_runtime
             samples = (np.concatenate(self._pending)
@@ -333,6 +355,7 @@ class _PitchConsumer:
     def __init__(self, engine: "AudioEngine"):
         self.engine = engine
         self.analyzer = PitchAnalyzer(engine.sample_rate)
+        self.analyzer.debug_recorder = engine.debug_recorder
         self.tuner_core = TunerCore()
         self.pending_outputs: List = []
         self.state = 1
@@ -427,6 +450,19 @@ class _OnsetConsumer:
         if out is None:
             return
         n = len(out.fired)
+        if e.debug_recorder is not None:
+            from .. import devtools
+            for i in range(n):
+                fired_i, det_i = bool(out.fired[i]), bool(out.detected[i])
+                e.debug_recorder.log_onset_frame(devtools.OnsetFrameRecord(
+                    frame=base + i, flux=float(out.flux[i]),
+                    burst_count=int(out.burst_count[i]), detected=det_i,
+                    fired=fired_i,
+                    status=devtools.onset_status(
+                        fired_i, det_i, bool(tick_sup[i]),
+                        bool(out.energy_rising[i]),
+                        int(out.frames_since[i]), float(out.flux[i]),
+                        int(out.burst_count[i]))))
         # Calibration timeout (ref onset.rs:361-371).
         if not self.calibration_done:
             elapsed = t.get_output_frames() - self.calibration_start_frame
@@ -505,6 +541,7 @@ class AudioEngine:
                              "noise_floor_db": -96.0}
         self.onset_pending = False
         self.calibration_target = 0
+        self.debug_recorder = None   # devtools recorder (attach_debug_recorder)
         self.input_error = False
         self.output_error = False
         self._consumers: dict = {}
@@ -701,6 +738,17 @@ class AudioEngine:
         tuner._handle = handle
         self.active_tuner = tuner
         return tuner
+
+    def attach_debug_recorder(self, recorder) -> None:
+        """Attach a devtools recorder (DebugRecorder / JsonlStreamRecorder)
+        to the live analysis: per-frame spectrum/floor/pitch records from
+        the active tuner (ref stft.rs:674-747) and per-frame onset decision
+        telemetry (ref onset.rs:458-533).  A JsonlStreamRecorder makes the
+        stream tail-able while the engine runs — the Rerun-viewer analog."""
+        self.debug_recorder = recorder
+        for consumer in self._consumers.values():
+            if isinstance(consumer, _PitchConsumer):
+                consumer.analyzer.debug_recorder = recorder
 
     def start_onset_detection(self) -> OnsetDetection:
         if self.active_onset is not None:

@@ -8,7 +8,9 @@ method names and receiving the same JSON payloads the uniffi objects return.
 
 Protocol: one request per line {"id": n, "method": "...", "params": [...]},
 one response per line {"id": n, "result": ...} or {"id": n, "error": "..."}.
-Audio pushes are base64-encoded little-endian float32.
+Audio pushes are base64-encoded little-endian samples — float32 by default,
+or i16/u16 interleaved multichannel via push_audio's format/channels params
+(downmixed like the reference's generic input streams, ref mod.rs:657-806).
 
 Methods mirror the engine surface: start_input/start_output, create_* /
 stop_* for metronome, synth, player, recording, onset detection, tuner,
@@ -81,8 +83,16 @@ class RpcServer:
             return {"sample_rate": self.engine.sample_rate,
                     "buffer_size": self.engine.buffer_size}
         if method == "push_audio":
-            samples = np.frombuffer(base64.b64decode(params[0]), dtype="<f4")
-            self.source.push(samples)
+            # params: [b64, format?, channels?] — format "f32" (default),
+            # "i16", or "u16"; interleaved frames are downmixed like the
+            # reference's generic input callbacks (ref mod.rs:657-806).
+            fmt = params[1] if len(params) > 1 else "f32"
+            channels = int(params[2]) if len(params) > 2 else 1
+            dtype = {"f32": "<f4", "i16": "<i2", "u16": "<u2"}.get(fmt)
+            if dtype is None:
+                raise ValueError(f"unsupported sample format {fmt!r}")
+            samples = np.frombuffer(base64.b64decode(params[0]), dtype=dtype)
+            self.source.push(samples, channels=channels)
             return len(samples)
         if method == "advance":
             e.advance(float(params[0]))
@@ -196,8 +206,12 @@ class RpcServer:
                     wf = conn.makefile("w", encoding="utf-8")
                     try:
                         self.serve_stdio(stdin=rf, stdout=wf)
-                    except (BrokenPipeError, ConnectionResetError):
-                        pass  # client vanished; accept the next one
+                    except (UnicodeDecodeError, OSError):
+                        # Client vanished (Broken pipe / reset), or sent
+                        # non-UTF-8 garbage into the line iterator — either
+                        # way drop that client and accept the next one
+                        # rather than killing the whole accept loop.
+                        pass
         finally:
             srv.close()
 

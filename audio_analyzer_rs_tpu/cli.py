@@ -8,8 +8,9 @@ pretty-print).  This CLI drives the same flows hardware-free through the
 virtual device — deterministically, from files.
 
 Usage:
-  python -m audio_analyzer_rs_tpu.cli tuner <audio>
-  python -m audio_analyzer_rs_tpu.cli onset <audio>
+  python -m audio_analyzer_rs_tpu.cli tuner <audio> [--debug-jsonl PATH]
+  python -m audio_analyzer_rs_tpu.cli onset <audio> [--debug-jsonl PATH]
+      # --debug-jsonl streams per-frame telemetry live (tail -f PATH)
   python -m audio_analyzer_rs_tpu.cli analyze <audio> [out.jsonl]
       [--segments N|auto]  # bulk offline analysis -> JSONL per-frame features
   python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
@@ -45,9 +46,21 @@ def _load_mono(path: str):
     return wav.downmix_mono(data, ch), float(sr)
 
 
-def cmd_tuner(path: str) -> None:
+def _attach_debug(e, debug_jsonl):
+    """--debug-jsonl PATH: stream per-frame debug telemetry live (tail -f
+    the file while analyzing — the reference's Rerun viewer analog,
+    ref stft.rs:674-747, onset.rs:559-651)."""
+    if debug_jsonl:
+        from .devtools import JsonlStreamRecorder
+        e.attach_debug_recorder(JsonlStreamRecorder(debug_jsonl))
+        print(f"streaming debug telemetry to {debug_jsonl} (tail -f it)",
+              file=sys.stderr)
+
+
+def cmd_tuner(path: str, debug_jsonl: str | None = None) -> None:
     audio, sr = _load_mono(path)
     e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
+    _attach_debug(e, debug_jsonl)
     tuner = e.start_tuner()
     # Round the step to whole device buffers so no audio tail is dropped.
     step_s = max(round(0.25 * sr / e.buffer_size), 1) * e.buffer_size / sr
@@ -66,10 +79,11 @@ def cmd_tuner(path: str) -> None:
     print("dynamics:", e.poll_dynamics())
 
 
-def cmd_onset(path: str) -> None:
+def cmd_onset(path: str, debug_jsonl: str | None = None) -> None:
     audio, sr = _load_mono(path)
     e = AudioEngine(input_source=ArraySource(audio), sample_rate=sr)
     e.transport.set_calibration_offset(1)   # offline: skip self-calibration
+    _attach_debug(e, debug_jsonl)
     onset = e.start_onset_detection()
     e.advance(len(audio) / sr + 0.1)
     events = json.loads(onset.poll_onsets())
@@ -194,10 +208,9 @@ def cmd_play(in_path: str, out_path: str, seek: float = 0.0) -> None:
         total += len(buf)
     e.device.output_callback = capture
     e.advance(0.25)   # processes the Play command before polling state
-    # `playing` drops when the cursor passes the decoded track end
-    # (models/player.py process); `finished` is only set by stop_player.
+    # is_playing() drops when the cursor passes the decoded track end.
     while (e.active_player is not None
-           and player._controller._player.playing
+           and player.is_playing()
            and total <= int(e.sample_rate) * 3600):
         e.advance(0.25)
     e.stop_player()
@@ -334,9 +347,9 @@ def main(argv=None) -> None:
 
 def _dispatch(cmd, pos, kwargs) -> None:
     if cmd == "tuner":
-        cmd_tuner(pos[0])
+        cmd_tuner(pos[0], debug_jsonl=kwargs.get("debug-jsonl"))
     elif cmd == "onset":
-        cmd_onset(pos[0])
+        cmd_onset(pos[0], debug_jsonl=kwargs.get("debug-jsonl"))
     elif cmd == "analyze":
         seg = kwargs.get("segments", "1")
         cmd_analyze(pos[0], pos[1] if len(pos) > 1 else None,

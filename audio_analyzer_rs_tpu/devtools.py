@@ -110,6 +110,46 @@ class DebugRecorder:
         return "\n".join(lines)
 
 
+class JsonlStreamRecorder(DebugRecorder):
+    """DebugRecorder that also streams every record to a JSONL file live.
+
+    The Rerun-viewer equivalent of the reference's per-frame streaming
+    (ref stft.rs:674-747, onset.rs:559-651): each logged frame is written
+    and flushed immediately, so `tail -f <path>` (or any frontend watching
+    the file) sees spectrum/pitch/onset decisions as the analysis runs —
+    not just a post-hoc drain.  `include_spectrum=True` adds the per-frame
+    magnitude/floor arrays to pitch lines (heavier; the default streams the
+    decision telemetry only, like `to_dict`)."""
+
+    def __init__(self, path: str, max_frames: int = 4096,
+                 include_spectrum: bool = False):
+        super().__init__(max_frames)
+        self._file = open(path, "w")
+        self._include_spectrum = include_spectrum
+
+    def _emit(self, record: dict) -> None:
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+
+    def log_pitch_frame(self, frame, magnitudes, noise_floor, bin_width,
+                        stable_pitches):
+        super().log_pitch_frame(frame, magnitudes, noise_floor, bin_width,
+                                stable_pitches)
+        rec = {"kind": "pitch", **self.pitch_frames[-1].to_dict()}
+        if self._include_spectrum:
+            rec["magnitudes"] = np.asarray(magnitudes, np.float32).tolist()
+            rec["noise_floor"] = np.asarray(noise_floor, np.float32).tolist()
+        self._emit(rec)
+
+    def log_onset_frame(self, record: OnsetFrameRecord):
+        super().log_onset_frame(record)
+        self._emit({"kind": "onset", **record.to_dict()})
+
+    def close(self) -> None:
+        if not self._file.closed:
+            self._file.close()
+
+
 def export_frame_png(path: str, raw: np.ndarray, windowed: np.ndarray,
                      magnitudes: np.ndarray, bin_width: float,
                      noise_floor: np.ndarray,

@@ -152,6 +152,9 @@ class OnsetChunkOut(NamedTuple):
     velocity: jax.Array
     flux: jax.Array
     energy: jax.Array
+    burst_count: jax.Array
+    energy_rising: jax.Array
+    frames_since: jax.Array
 
 
 @partial(jax.jit, static_argnames=("window", "backend"))
@@ -162,7 +165,8 @@ def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
     state, out = onset_ops.onset_scan(state, mags, global_floor,
                                       tick_suppressed, calibration_hold)
     return state, OnsetChunkOut(out.fired, out.detected, out.velocity,
-                                out.flux, out.energy)
+                                out.flux, out.energy, out.burst_count,
+                                out.energy_rising, out.frames_since)
 
 
 @dataclass

@@ -122,3 +122,11 @@ class PlayerController:
 
     def load_file(self, path: str):
         self._player.load_file(path)
+
+    def is_playing(self) -> bool:
+        """True while the cursor is inside the decoded track and not paused
+        (drops automatically when playback passes the track end)."""
+        return self._player.playing
+
+    def is_finished(self) -> bool:
+        return self._player.is_finished()

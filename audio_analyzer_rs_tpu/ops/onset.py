@@ -58,6 +58,10 @@ class OnsetFrameOut(NamedTuple):
     velocity: jax.Array       # float32
     flux: jax.Array           # float32 (post silence gate)
     energy: jax.Array         # float32
+    # Decision telemetry for the dev-tools stream (ref onset.rs:458-533).
+    burst_count: jax.Array    # int32
+    energy_rising: jax.Array  # bool
+    frames_since: jax.Array   # int32 — refractory counter BEFORE this frame
 
 
 def init_state(half: int = HALF) -> OnsetState:
@@ -133,7 +137,9 @@ def _step(state: OnsetState, mags, global_floor, tick_suppressed,
 
     new_state = OnsetState(mags, floor1, jnp.asarray(True), threshold,
                            energy_ema, frames_since)
-    return new_state, OnsetFrameOut(fired, detected, velocity, flux, energy)
+    return new_state, OnsetFrameOut(fired, detected, velocity, flux, energy,
+                                    burst_count, energy_rising,
+                                    state.frames_since_onset)
 
 
 @jax.jit

@@ -89,6 +89,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.reducer_create.restype = c.c_void_p
     lib.reducer_create.argtypes = [c.c_float, c.c_size_t]
     lib.reducer_destroy.argtypes = [c.c_void_p]
+    lib.reducer_state_floats.restype = c.c_size_t
+    lib.reducer_state_ints.restype = c.c_size_t
+    lib.reducer_save_state.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                       c.POINTER(c.c_int32)]
+    lib.reducer_load_state.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                       c.POINTER(c.c_int32)]
     lib.reducer_process.argtypes = [c.c_void_p, c.POINTER(c.c_float),
                                     c.c_size_t, c.POINTER(DynamicsOutStruct)]
     lib.pipeline_create.restype = c.c_void_p
@@ -222,6 +228,27 @@ class NativeReducer:
                      "session_median_db": float(dyn.session_median_db),
                      "noise_floor_db": float(dyn.noise_floor_db),
                      "slot": buf}
+
+    def save_state(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Snapshot the full reducer+AGC carried state (checkpoint.py)."""
+        nf = int(self._lib.reducer_state_floats())
+        ni = int(self._lib.reducer_state_ints())
+        f = np.zeros(nf, np.float32)
+        i = np.zeros(ni, np.int32)
+        self._lib.reducer_save_state(
+            self._ptr, f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return f, i
+
+    def load_state(self, floats: np.ndarray, ints: np.ndarray) -> None:
+        f = np.ascontiguousarray(floats, np.float32)
+        i = np.ascontiguousarray(ints, np.int32)
+        if (len(f) != int(self._lib.reducer_state_floats())
+                or len(i) != int(self._lib.reducer_state_ints())):
+            raise ValueError("reducer state size mismatch")
+        self._lib.reducer_load_state(
+            self._ptr, f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
 
     def __del__(self):
         if getattr(self, "_ptr", None):

@@ -309,6 +309,38 @@ void reducer_process(Reducer* r, float* slot, size_t n, DynamicsOut* out) {
     out->noise_floor_db = noise_floor_db;
 }
 
+// Checkpoint/resume of the full reducer+AGC carried state (engine-level
+// snapshots, audio_analyzer_rs_tpu/checkpoint.py).  Flat layout:
+//   floats: hpf{x1,x2,y1,y2} lpf{x1,x2,y1,y2} envelope gain_linear
+//           long_hist[256] play_hist[5000]                     = 5266
+//   ints:   hold_remaining long_pos long_filled play_pos play_filled = 5
+size_t reducer_state_floats(void) {
+    return 10 + Reducer::LONG_LEN + Reducer::PLAY_LEN;
+}
+size_t reducer_state_ints(void) { return 5; }
+
+void reducer_save_state(const Reducer* r, float* f, int32_t* i) {
+    f[0] = r->hpf.x1; f[1] = r->hpf.x2; f[2] = r->hpf.y1; f[3] = r->hpf.y2;
+    f[4] = r->lpf.x1; f[5] = r->lpf.x2; f[6] = r->lpf.y1; f[7] = r->lpf.y2;
+    f[8] = r->envelope; f[9] = r->gain_linear;
+    std::memcpy(f + 10, r->long_hist, sizeof r->long_hist);
+    std::memcpy(f + 10 + Reducer::LONG_LEN, r->play_hist, sizeof r->play_hist);
+    i[0] = r->hold_remaining;
+    i[1] = r->long_pos; i[2] = r->long_filled ? 1 : 0;
+    i[3] = r->play_pos; i[4] = r->play_filled ? 1 : 0;
+}
+
+void reducer_load_state(Reducer* r, const float* f, const int32_t* i) {
+    r->hpf.x1 = f[0]; r->hpf.x2 = f[1]; r->hpf.y1 = f[2]; r->hpf.y2 = f[3];
+    r->lpf.x1 = f[4]; r->lpf.x2 = f[5]; r->lpf.y1 = f[6]; r->lpf.y2 = f[7];
+    r->envelope = f[8]; r->gain_linear = f[9];
+    std::memcpy(r->long_hist, f + 10, sizeof r->long_hist);
+    std::memcpy(r->play_hist, f + 10 + Reducer::LONG_LEN, sizeof r->play_hist);
+    r->hold_remaining = i[0];
+    r->long_pos = i[1]; r->long_filled = i[2] != 0;
+    r->play_pos = i[3]; r->play_filled = i[4] != 0;
+}
+
 // ───────────────────────── Threaded pipeline ─────────────────────────────
 // Reducer thread draining an input ring through conditioning into a
 // consumer ring — the reference's thread topology (ref mod.rs:336-511)

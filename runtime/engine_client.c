@@ -35,14 +35,19 @@ static void close_pair(int fds[2]) {
     if (fds[1] >= 0) close(fds[1]);
 }
 
-EngineClient* engine_client_spawn(const char* python_exe,
-                                  const char* repo_root) {
+EngineClient* engine_client_spawn_opts(const char* python_exe,
+                                       const char* repo_root,
+                                       unsigned flags) {
     /* A write to a pipe whose reader died must not kill the host app —
      * but only take over the disposition if the application hasn't
-     * installed its own handler. */
-    struct sigaction sa;
-    if (sigaction(SIGPIPE, NULL, &sa) == 0 && sa.sa_handler == SIG_DFL) {
-        signal(SIGPIPE, SIG_IGN);
+     * installed its own handler, and only unless the host opted out
+     * (ENGINE_CLIENT_KEEP_SIGPIPE) because it relies on default SIGPIPE
+     * termination for its own pipes. */
+    if (!(flags & ENGINE_CLIENT_KEEP_SIGPIPE)) {
+        struct sigaction sa;
+        if (sigaction(SIGPIPE, NULL, &sa) == 0 && sa.sa_handler == SIG_DFL) {
+            signal(SIGPIPE, SIG_IGN);
+        }
     }
 
     int in_pipe[2] = {-1, -1}, out_pipe[2] = {-1, -1};
@@ -127,6 +132,11 @@ EngineClient* engine_client_spawn(const char* python_exe,
     return c;
 }
 
+EngineClient* engine_client_spawn(const char* python_exe,
+                                  const char* repo_root) {
+    return engine_client_spawn_opts(python_exe, repo_root, 0);
+}
+
 /* Minimal scan: given a full response line, extract the "result" (or
  * "error") value as raw JSON.  The server emits flat, predictable lines
  * {"id": N, "result": ...} / {"id": N, "error": "..."} with the payload
@@ -145,6 +155,18 @@ static int extract_value(const char* line, const char* key,
     memcpy(out, p, n);
     out[n] = '\0';
     return 0;
+}
+
+/* Locate the "id" key anywhere in the response envelope and parse its
+ * integer value; returns -1 if absent/non-numeric (null id → -1 too,
+ * which can never equal a real request id ≥ 1). */
+static int response_id(const char* line) {
+    const char* p = strstr(line, "\"id\"");
+    if (!p) return -1;
+    p += 4;
+    while (*p == ' ' || *p == '\t' || *p == ':') p++;
+    if (*p < '0' || *p > '9') return -1;
+    return (int)strtol(p, NULL, 10);
 }
 
 int engine_client_call(EngineClient* c, const char* method,
@@ -173,10 +195,10 @@ int engine_client_call(EngineClient* c, const char* method,
         return -1;
     }
     /* The server echoes our id; a mismatch means the stream is
-     * desynchronized (a bug, or a stale response) — fail loudly. */
-    char idpat[32];
-    snprintf(idpat, sizeof idpat, "{\"id\": %d,", id);
-    if (strncmp(line, idpat, strlen(idpat)) != 0) {
+     * desynchronized (a bug, or a stale response) — fail loudly.  The id
+     * is located by key, not byte offset, so server-side serialization
+     * details (key order, separators) can change freely. */
+    if (response_id(line) != id) {
         set_err(c, "response id mismatch (protocol desync)");
         free(line);
         return -1;

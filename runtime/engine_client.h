@@ -23,11 +23,26 @@ extern "C" {
 
 typedef struct EngineClient EngineClient;
 
+/* engine_client_spawn_opts flags. */
+enum {
+    /* Do NOT flip a SIG_DFL SIGPIPE disposition to SIG_IGN.  By default
+     * the client ignores SIGPIPE (only when the app left it at SIG_DFL)
+     * so a dead engine surfaces as EPIPE instead of killing the host;
+     * pass this flag if the host deliberately relies on default SIGPIPE
+     * termination for its own pipes. */
+    ENGINE_CLIENT_KEEP_SIGPIPE = 1u << 0,
+};
+
 /* Spawn the RPC server (argv override optional; NULL = default
  * "python3 -m audio_analyzer_rs_tpu.api.rpc" resolved via PATH with the
  * current working directory on PYTHONPATH). */
 EngineClient* engine_client_spawn(const char* python_exe,
                                   const char* repo_root);
+
+/* As engine_client_spawn, with behavior flags (ENGINE_CLIENT_*). */
+EngineClient* engine_client_spawn_opts(const char* python_exe,
+                                       const char* repo_root,
+                                       unsigned flags);
 
 /* Call `method` with raw JSON `params_json` (e.g. "[1.5]", "[]", or NULL
  * for no params).  The result JSON (or error message) lands in out. */

@@ -136,3 +136,49 @@ def test_transport_checkpoint_roundtrip(tmp_path):
     assert t2.is_calibrated()
     assert (t2.nearest_tick_distance_beats(0.775)
             == t.nearest_tick_distance_beats(0.775))
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    """Engine-level snapshot: reducer/AGC histories + transport + active
+    tuner/onset consumer state restore into a fresh engine, and continued
+    analysis matches the uninterrupted run exactly."""
+    tone = gen.tone_with_harmonics(261.63, 4.0, SR, harmonics=6,
+                                   amplitude=0.35)
+
+    def build():
+        e = AudioEngine(input_source=ArraySource(tone))
+        e.transport.set_calibration_offset(10)   # skip calibration phase
+        e.start_tuner()
+        e.start_onset_detection()
+        return e
+
+    e1 = build()
+    e1.advance(1.5)
+    path = str(tmp_path / "engine.npz")
+    checkpoint.save_engine(path, e1)
+
+    e2 = build()
+    checkpoint.load_engine(path, e2)
+    # Restored engine mirrors the live one...
+    assert e2.transport.get_input_frames() == e1.transport.get_input_frames()
+    assert e2.dynamics_out == e1.dynamics_out
+    assert e2.dynamics.play_pos == e1.dynamics.play_pos
+    np.testing.assert_array_equal(e2.dynamics.play, e1.dynamics.play)
+    # ...and continues identically to the uninterrupted engine.
+    # (Advance both from the same input position: ArraySource is positional.)
+    e2.device.input_source.pos = e1.device.input_source.pos
+    e1.advance(1.0)
+    e2.advance(1.0)
+    assert e1.poll_dynamics() == e2.poll_dynamics()
+    assert (e1.active_tuner.poll_output() == e2.active_tuner.poll_output())
+    assert (e1.active_onset.poll_onsets() == e2.active_onset.poll_onsets())
+
+
+def test_engine_checkpoint_config_mismatch(tmp_path):
+    e1 = AudioEngine(input_source=ArraySource(np.zeros(4096, np.float32)))
+    path = str(tmp_path / "engine.npz")
+    checkpoint.save_engine(path, e1)
+    e2 = AudioEngine(input_source=ArraySource(np.zeros(4096, np.float32)),
+                     sample_rate=44100.0)
+    with pytest.raises(ValueError):
+        checkpoint.load_engine(path, e2)

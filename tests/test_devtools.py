@@ -68,3 +68,49 @@ def test_onset_record_roundtrip():
         status="DETECTED flux=12.5 burst=4"))
     line = json.loads(rec.drain_jsonl())
     assert line["kind"] == "onset" and line["fired"] is True
+
+
+def test_jsonl_stream_recorder_is_live(tmp_path):
+    """The live sink (Rerun-viewer analog) must flush each record as it is
+    logged — a tail-er sees frames mid-analysis, before any drain."""
+    import json
+
+    import numpy as np
+
+    from audio_analyzer_rs_tpu.api.device import ArraySource
+    from audio_analyzer_rs_tpu.api.engine import AudioEngine
+    from audio_analyzer_rs_tpu.devtools import JsonlStreamRecorder
+    from audio_analyzer_rs_tpu.models import generators as gen
+
+    sr = 48000.0
+    # Quiet lead-in, then the note attacks at 0.3 s: the burst floors see a
+    # real attack (a tone from sample 0 initializes the floors to itself).
+    tone = np.zeros(int(1.2 * sr), np.float32)
+    note = gen.tone_with_harmonics(440.0, 0.9, sr, harmonics=5, amplitude=0.4)
+    tone[int(0.3 * sr):int(0.3 * sr) + len(note)] = note
+    path = str(tmp_path / "debug.jsonl")
+    e = AudioEngine(input_source=ArraySource(tone), sample_rate=sr)
+    e.transport.set_calibration_offset(1)
+    rec = JsonlStreamRecorder(path)
+    e.attach_debug_recorder(rec)
+    e.start_tuner()
+    e.start_onset_detection()
+
+    e.advance(0.5)
+    mid = open(path).read().splitlines()      # read while still running
+    assert len(mid) > 0, "no live records after 0.5s"
+    e.advance(0.5)
+    end = open(path).read().splitlines()
+    assert len(end) > len(mid), "stream did not grow while running"
+
+    records = [json.loads(l) for l in end]
+    kinds = {r["kind"] for r in records}
+    assert kinds == {"pitch", "onset"}
+    pitch = [r for r in records if r["kind"] == "pitch"]
+    assert any(r["stable_pitches"] for r in pitch), "no pitches streamed"
+    lbls = [p["label"] for r in pitch for p in r["stable_pitches"]]
+    assert any(l.startswith("A4") for l in lbls), lbls
+    onset = [r for r in records if r["kind"] == "onset"]
+    assert {"flux", "burst_count", "status", "fired"} <= set(onset[0])
+    assert any(r["status"] != "idle" for r in onset)
+    rec.close()

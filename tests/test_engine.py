@@ -4,6 +4,7 @@ flows the reference could not test (SURVEY §4 calls this out as its biggest
 test weakness)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -318,6 +319,20 @@ def test_recording_writes_wav(tmp_path):
     assert np.abs(data).max() > 0.2
 
 
+def test_recording_flushes_every_8_slots(tmp_path):
+    """Mid-recording crash durability (ref recorder.rs:69-79): after 8+
+    slots the sample data must already be on disk, unstopped."""
+    tone = gen.sine(440.0, 2.0, SR, amplitude=0.4)
+    e = AudioEngine(input_source=ArraySource(tone))
+    path = str(tmp_path / "rec.wav")
+    e.start_recording(path)
+    e.advance(12 * 1024 / SR)   # 12 slots > one 8-slot flush cadence
+    flushed = os.path.getsize(path)
+    # 8 slots of i16 mono (+44-byte header) must have hit the disk.
+    assert flushed >= 44 + 8 * 1024 * 2, flushed
+    e.stop_recording()
+
+
 # ── metronome + synth through the engine ─────────────────────────────────
 
 def test_metronome_renders_via_engine():
@@ -468,3 +483,60 @@ def test_uniffi_api_surface_complete():
     missing = [f"{c}.{m}" for c, ms in surface.items()
                for m in ms if not hasattr(getattr(E, c, None), m)]
     assert not missing, missing
+
+
+# ── input-format genericity (ref mod.rs:657-806) ─────────────────────────
+
+def test_i16_input_equals_quantized_f32_input():
+    """i16 microphone input through the whole engine must equal f32 input
+    of the same quantized samples — the callback conversion is /32768,
+    exactly the inverse of the recorder's quantization."""
+    from audio_analyzer_rs_tpu.api.device import InterleavedSource
+
+    tone = gen.tone_with_harmonics(261.63, 1.5, SR, harmonics=6,
+                                   amplitude=0.4)
+    i16 = np.clip(tone * 32768.0, -32768, 32767).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+
+    outs = []
+    for src in (InterleavedSource(i16), ArraySource(f32)):
+        e = AudioEngine(input_source=src)
+        tuner = e.start_tuner()
+        e.advance(1.4)
+        outs.append((tuner.poll_output(), e.poll_dynamics()))
+    assert outs[0] == outs[1]
+
+
+def test_u16_and_stereo_downmix_inputs():
+    from audio_analyzer_rs_tpu.api.device import (InterleavedSource,
+                                                  downmix_interleaved)
+
+    # u16 offset-binary: 32768 → 0.0, 0 → -1.0.
+    u16 = np.array([32768, 0, 65535], np.uint16)
+    got = downmix_interleaved(u16, 1)
+    np.testing.assert_allclose(got, [0.0, -1.0, 32767 / 32768], atol=1e-7)
+
+    # Stereo frames average per frame (ref mod.rs:784-794).
+    stereo = np.array([0.2, 0.4, -1.0, 1.0], np.float32)  # 2 frames
+    np.testing.assert_allclose(downmix_interleaved(stereo, 2), [0.3, 0.0],
+                               atol=1e-7)
+
+    # Through the engine: stereo with identical L/R equals the mono take.
+    tone = gen.tone_with_harmonics(329.63, 1.2, SR, harmonics=5,
+                                   amplitude=0.35)
+    stereo = np.repeat(tone, 2)
+    outs = []
+    for src in (InterleavedSource(stereo, channels=2), ArraySource(tone)):
+        e = AudioEngine(input_source=src)
+        tuner = e.start_tuner()
+        e.advance(1.1)
+        outs.append(tuner.poll_output())
+    assert outs[0] == outs[1]
+
+
+def test_push_source_accepts_raw_formats():
+    src = PushSource()
+    src.push(np.array([16384, -16384], np.int16))
+    np.testing.assert_allclose(src.next_block(2), [0.5, -0.5])
+    src.push(np.array([0.5, 0.5, -0.5, 0.5], np.float32), channels=2)
+    np.testing.assert_allclose(src.next_block(2), [0.5, 0.0])
