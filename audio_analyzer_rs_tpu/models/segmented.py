@@ -41,10 +41,19 @@ DEFAULT_WARMUP_FRAMES = 256
 DEFAULT_ONSET_WARMUP_FRAMES = 512
 
 
+def _chunks_to_f32(audio_chunks):
+    """int16 chunks convert on device by the exact power-of-two scale
+    (see _upload_f32); float32 passes through."""
+    if audio_chunks.dtype == jnp.int16:
+        return audio_chunks.astype(jnp.float32) * np.float32(1.0 / 32768.0)
+    return audio_chunks
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
 def _vmapped_step(nf_states, tr_states, audio_chunks, global_floor, onsets,
                   sample_rate: float, window: int, hop: int,
                   backend: str = DEFAULT_BACKEND):
+    audio_chunks = _chunks_to_f32(audio_chunks)
     def one(nf, tr, audio, gf, on):
         frames = frame_signal(audio, window, hop)
         return pitch_analyze_frames(nf, tr, frames, gf, on, sample_rate,
@@ -121,6 +130,41 @@ def _shard_batch(tree, mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+def _pipelined_blocks(padded: np.ndarray, stream_start: np.ndarray,
+                      steps: int, chunk_frames: int, hop: int,
+                      chunk_samples: int, mesh):
+    """Double-buffered host→device feed: yields the device block for each
+    step while the NEXT step's transfer is already in flight.
+
+    The resident path uploads the whole recording before any compute; on a
+    slow host↔device link (this environment's tunnel runs ~15-40 MB/s) the
+    first math starts tens of seconds in.  Here each step's [S, chunk]
+    block is gathered on host (int16 stays int16 — half the bytes; device
+    converts) and device_put'd one step ahead, so transfer k+1 overlaps
+    compute k and the pipeline starts after one block instead of the whole
+    file.  Costs ~6% duplicate bytes (warmup overlap + window tails)."""
+    sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+        sharding = batch_sharding(mesh)
+
+    def put(block):
+        return (jax.device_put(block, sharding) if sharding is not None
+                else jax.device_put(block))
+
+    base = stream_start * hop
+
+    def host_block(k):
+        off = base + k * chunk_frames * hop
+        return np.stack([padded[o:o + chunk_samples] for o in off])
+
+    pending = put(host_block(0))
+    for k in range(steps):
+        nxt = put(host_block(k + 1)) if k + 1 < steps else None
+        yield pending
+        pending = nxt
+
+
 def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
     """Segment count for a recording of n_total frames: keep each segment's
     payload near >= 20x the discarded warmup (overhead ~<= 5%), capped where
@@ -146,7 +190,8 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              hop: int = PITCH_HOP,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
-                             mesh=None, device_audio=None):
+                             mesh=None, device_audio=None,
+                             transfer: str = "resident"):
     """Analyze one long mono buffer with S parallel segments.
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
@@ -160,6 +205,13 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     across its devices — one recording fans out over the whole chip fleet
     (segments should be a multiple of the device count); jit partitions the
     vmapped step SPMD with no cross-device collectives on the hot path.
+
+    `transfer`: "resident" uploads the recording once and slices on device
+    (best when the upload is shared with other analyses via
+    `device_audio`); "pipelined" double-buffers per-step host→device blocks
+    so transfers overlap compute and the first math starts after one block
+    (best for a single analysis over a slow link — see _pipelined_blocks).
+    Results are identical.
     """
     audio = _as_host_audio(audio)
     n_total = num_frames(len(audio), window, hop)
@@ -204,17 +256,6 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     chunk_samples = (chunk_frames - 1) * hop + window
     stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
     max_sample = int(stream_start.max()) * hop + stream_samples
-    if device_audio is not None:
-        # Caller already uploaded the recording (float32, len(audio)
-        # samples): pad on device instead of paying a second upload.
-        audio_dev = jnp.pad(device_audio,
-                            (0, max(0, max_sample - len(audio))))
-    else:
-        audio_dev = _upload_f32(
-            np.pad(audio, (0, max(0, max_sample - len(audio)))))
-    seg_streams = _slice_streams(
-        audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
-        stream_samples)
 
     out_freqs = np.zeros((n_total, 8), np.float32)
     out_scores = np.zeros((n_total, 8), np.float32)
@@ -223,19 +264,42 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
     onsets = jnp.zeros((segments, chunk_frames), bool)
     if mesh is not None:
-        seg_streams, nf_states, tr_states, gf, onsets = _shard_batch(
-            (seg_streams, nf_states, tr_states, gf, onsets), mesh)
+        nf_states, tr_states, gf, onsets = _shard_batch(
+            (nf_states, tr_states, gf, onsets), mesh)
 
     # All steps are queued back-to-back with outputs kept device-resident;
     # one readback at the end.  Per-step np.asarray would synchronize every
     # step and pay the host link round-trip `3 * steps` times.
     step_outs = []
-    for step in range(steps):
-        nf_states, tr_states, out = _vmapped_step_resident(
-            nf_states, tr_states, seg_streams,
-            jnp.asarray(step * chunk_frames * hop, jnp.int32), gf, onsets,
-            chunk_samples, sample_rate, window, hop, backend)
-        step_outs.append(out)
+    if transfer == "pipelined" and device_audio is None:
+        padded = np.pad(audio, (0, max(0, max_sample - len(audio))))
+        for chunk in _pipelined_blocks(padded, stream_start, steps,
+                                       chunk_frames, hop, chunk_samples,
+                                       mesh):
+            nf_states, tr_states, out = _vmapped_step(
+                nf_states, tr_states, chunk, gf, onsets, sample_rate,
+                window, hop, backend)
+            step_outs.append(out)
+    else:
+        if device_audio is not None:
+            # Caller already uploaded the recording (float32, len(audio)
+            # samples): pad on device instead of paying a second upload.
+            audio_dev = jnp.pad(device_audio,
+                                (0, max(0, max_sample - len(audio))))
+        else:
+            audio_dev = _upload_f32(
+                np.pad(audio, (0, max(0, max_sample - len(audio)))))
+        seg_streams = _slice_streams(
+            audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
+            stream_samples)
+        if mesh is not None:
+            seg_streams = _shard_batch(seg_streams, mesh)
+        for step in range(steps):
+            nf_states, tr_states, out = _vmapped_step_resident(
+                nf_states, tr_states, seg_streams,
+                jnp.asarray(step * chunk_frames * hop, jnp.int32), gf,
+                onsets, chunk_samples, sample_rate, window, hop, backend)
+            step_outs.append(out)
     sf = np.asarray(jnp.stack([o.stable_freqs for o in step_outs], 1))
     ss = np.asarray(jnp.stack([o.stable_scores for o in step_outs], 1))
     sv = np.asarray(jnp.stack([o.stable_valid for o in step_outs], 1))
@@ -252,6 +316,16 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
         out_scores[pay_lo:pay_hi] = ss[s, src:src + (pay_hi - pay_lo)]
         out_valid[pay_lo:pay_hi] = sv[s, src:src + (pay_hi - pay_lo)]
     return out_freqs, out_scores, out_valid
+
+
+@partial(jax.jit, static_argnames=("window", "backend", "hop"))
+def _vmapped_onset_chunks(states, chunks, global_floor, tick_sup, hold,
+                          window: int, backend: str, hop: int):
+    chunks = _chunks_to_f32(chunks)
+    def one(st, audio, gf, ts, ch):
+        frames = frame_signal(audio, window, hop)
+        return onset_analyze_frames(st, frames, gf, ts, ch, window, backend)
+    return jax.vmap(one)(states, chunks, global_floor, tick_sup, hold)
 
 
 @partial(jax.jit, static_argnames=("chunk_samples", "window", "backend",
@@ -276,15 +350,17 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
                              hop: int = ONSET_HOP,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
-                             mesh=None, device_audio=None):
+                             mesh=None, device_audio=None,
+                             transfer: str = "resident"):
     """Segment-parallel offline onset detection over one long mono buffer.
 
     Same warmup-overlap scheme as `segmented_pitch_analysis`; segment 0 is
     bit-identical to the sequential run.  Returns
     (fired [N] bool, velocity [N] f32, flux [N] f32, energy [N] f32)
     for all N = num_frames(len(audio)) onset frames, in order.
-    With `mesh`, segments shard across the device fleet (see
-    segmented_pitch_analysis).
+    With `mesh`, segments shard across the device fleet; `transfer` as in
+    segmented_pitch_analysis ("pipelined" overlaps per-step uploads with
+    compute).
     """
     audio = _as_host_audio(audio)
     n_total = num_frames(len(audio), window, hop)
@@ -323,17 +399,6 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     chunk_samples = (chunk_frames - 1) * hop + window
     stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
     max_sample = int(stream_start.max()) * hop + stream_samples
-    if device_audio is not None:
-        # Caller already uploaded the recording (float32, len(audio)
-        # samples): pad on device instead of paying a second upload.
-        audio_dev = jnp.pad(device_audio,
-                            (0, max(0, max_sample - len(audio))))
-    else:
-        audio_dev = _upload_f32(
-            np.pad(audio, (0, max(0, max_sample - len(audio)))))
-    seg_streams = _slice_streams(
-        audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
-        stream_samples)
 
     out_fired = np.zeros(n_total, bool)
     out_vel = np.zeros(n_total, np.float32)
@@ -344,16 +409,37 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     ts = jnp.zeros((segments, chunk_frames), bool)
     hold = jnp.zeros((segments, chunk_frames), bool)
     if mesh is not None:
-        seg_streams, states, gf, ts, hold = _shard_batch(
-            (seg_streams, states, gf, ts, hold), mesh)
+        states, gf, ts, hold = _shard_batch((states, gf, ts, hold), mesh)
 
     step_outs = []
-    for step in range(steps):
-        states, out = _vmapped_onset_step(
-            states, seg_streams, jnp.asarray(step * chunk_frames * hop,
-                                             jnp.int32), gf, ts, hold,
-            chunk_samples, window, backend, hop)
-        step_outs.append(out)
+    if transfer == "pipelined" and device_audio is None:
+        padded = np.pad(audio, (0, max(0, max_sample - len(audio))))
+        for chunk in _pipelined_blocks(padded, stream_start, steps,
+                                       chunk_frames, hop, chunk_samples,
+                                       mesh):
+            states, out = _vmapped_onset_chunks(states, chunk, gf, ts, hold,
+                                                window, backend, hop)
+            step_outs.append(out)
+    else:
+        if device_audio is not None:
+            # Caller already uploaded the recording (float32, len(audio)
+            # samples): pad on device instead of paying a second upload.
+            audio_dev = jnp.pad(device_audio,
+                                (0, max(0, max_sample - len(audio))))
+        else:
+            audio_dev = _upload_f32(
+                np.pad(audio, (0, max(0, max_sample - len(audio)))))
+        seg_streams = _slice_streams(
+            audio_dev, jnp.asarray(stream_start * hop, jnp.int32),
+            stream_samples)
+        if mesh is not None:
+            seg_streams = _shard_batch(seg_streams, mesh)
+        for step in range(steps):
+            states, out = _vmapped_onset_step(
+                states, seg_streams, jnp.asarray(step * chunk_frames * hop,
+                                                 jnp.int32), gf, ts, hold,
+                chunk_samples, window, backend, hop)
+            step_outs.append(out)
     fired = np.asarray(jnp.stack([o.fired for o in step_outs], 1)) \
         .reshape(segments, steps * chunk_frames)
     vel = np.asarray(jnp.stack([o.velocity for o in step_outs], 1)) \

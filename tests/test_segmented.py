@@ -178,3 +178,39 @@ def test_auto_segments_pow2_snapping():
     for n in range(1, 400_000, 7919):
         s = auto_segments(n, 256)
         assert s & (s - 1) == 0 and 1 <= s <= 64
+
+
+def test_pipelined_transfer_matches_resident():
+    """transfer="pipelined" (double-buffered per-step uploads) must produce
+    identical outputs to the resident path, for f32 and raw-i16 input."""
+    x = melody(20.0)
+    i16 = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    for audio in (x, i16):
+        ref = segmented_pitch_analysis(audio, SR, segments=4,
+                                       warmup_frames=128, chunk_frames=256)
+        got = segmented_pitch_analysis(audio, SR, segments=4,
+                                       warmup_frames=128, chunk_frames=256,
+                                       transfer="pipelined")
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    xo = percussive(15.0)
+    ref_o = segmented_onset_analysis(xo, SR, segments=4, warmup_frames=256,
+                                     chunk_frames=1024)
+    got_o = segmented_onset_analysis(xo, SR, segments=4, warmup_frames=256,
+                                     chunk_frames=1024, transfer="pipelined")
+    for a, b in zip(ref_o, got_o):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_transfer_matches_resident_on_mesh():
+    from audio_analyzer_rs_tpu.parallel.mesh import make_mesh
+    x = melody(20.0)
+    mesh = make_mesh()
+    ref = segmented_pitch_analysis(x, SR, segments=8, warmup_frames=128,
+                                   chunk_frames=256, mesh=mesh)
+    got = segmented_pitch_analysis(x, SR, segments=8, warmup_frames=128,
+                                   chunk_frames=256, mesh=mesh,
+                                   transfer="pipelined")
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
