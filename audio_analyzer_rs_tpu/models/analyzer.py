@@ -37,12 +37,15 @@ class PitchChunkOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend",
-                                   "return_floor"))
+                                   "return_floor", "comb"))
 def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
                          sample_rate: float, window: int = PITCH_WINDOW,
                          hop: int = PITCH_HOP, backend: str = DEFAULT_BACKEND,
-                         return_floor: bool = False):
-    """Pre-framed audio [N, window] → pitch pipeline outputs + new states."""
+                         return_floor: bool = False,
+                         comb: str | None = None):
+    """Pre-framed audio [N, window] → pitch pipeline outputs + new states.
+
+    `comb`: harmonic-comb backend (ops/pitch.py DEFAULT_COMB when None)."""
     mags = windowed_mags(frames, window, backend=backend)
     bin_width = float(np.float32(sample_rate) / np.float32(window))
     # Band the floor recurrence to the pitch candidate bins unless the
@@ -52,7 +55,7 @@ def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
             else pitch_ops.candidate_band(bin_width, window // 2 + 1))
     nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags,
                                                       global_floor, band)
-    pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width)
+    pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width, comb=comb)
     tr_state, (sf, ss, sv) = tracker.tracker_scan(
         tr_state, pf.freqs, pf.scores, pf.valid, onsets)
     floor_out = eff_floor if return_floor else jnp.zeros((0, 0), jnp.float32)

@@ -13,7 +13,7 @@ Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
 Measured on TPU v5e (fft backend, candidate-band comb): 64 segments x
-256-frame chunks ≈ 13.7x single-stream throughput (~266k frames/s ≈ 3090x
+256-frame chunks ≈ 17.7x single-stream throughput (~351k frames/s ≈ 4078x
 realtime at window 2048 / hop 512 / 44.1 kHz), with 100.000% frame
 agreement vs the sequential run measured over a 1 h mixed scene (see
 `auto_segments` for the scaling map).
@@ -170,7 +170,8 @@ def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
     payload near >= 20x the discarded warmup (overhead ~<= 5%), capped where
     the v5e measurements plateau.  Measured raw step throughput (v5e, fft,
     candidate-band comb+floor): 64seg/256cf 266k, 128/128 263k, 128/256 255k,
-    64/512 225k frames/s — the curve is flat past 64 segments and warmup
+    64/512 225k frames/s (351k at 64/256 after round-2 harmonic truncation)
+    — the curve is flat past 64 segments and warmup
     overhead grows with S on a fixed-length file.  Snapped to a power of two:
     each distinct (segments, chunk) pair is its own XLA program, and pow2
     counts bound the compile-cache population at ~7 entries."""

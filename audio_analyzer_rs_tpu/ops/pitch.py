@@ -42,34 +42,113 @@ class PitchFrame(NamedTuple):
     valid: jax.Array   # [MAX_NOTES] bool
 
 
-def _extract_single(mags: jax.Array, noise_floor: jax.Array,
-                    bin_width: float, min_bin: int, max_bin: int,
-                    min_freq: float, max_freq: float) -> PitchFrame:
-    """One frame: mags [H], floor [>=kc] → up to 8 (freq, score) pitches.
+def _comb_xla(pm: jax.Array, frac_c: jax.Array, fund_mag: jax.Array,
+              half: int):
+    """One frame's harmonic-comb loop (ref stft.rs:499-545): pm [kc]
+    (peak-masked magnitudes), frac_c [kc] fractional bins, fund_mag [kc]
+    score seed → (score [kc] = fund + Σ best harmonic mags in the
+    reference's accumulation order, longest_run [kc] i32, total_harms [kc]
+    i32).  See the restructuring notes in `_extract_single`."""
+    kc = pm.shape[0]
+    k_c = jnp.arange(kc, dtype=jnp.int32)
+    front = MAX_HARMONICS + 2
+    # Candidate truncation (bit-exact): harmonic n of candidate j sits at
+    # expected = frac*n >= (j-1)*n, so j >= half//n + 2 implies
+    # expected >= half and the reference skips it (valid_n false ⇒ the
+    # state update below is the identity).  Computing each harmonic only
+    # on its live prefix cuts the slab reads ~3.7x (Σ(2n+3)·min(kc,half/n)
+    # vs Σ(2n+3)·kc) and shrinks the padded read array from kc·13 to
+    # ~half+2n lanes.
+    kcn_of = {n: min(kc, half // n + 2)
+              for n in range(2, MAX_HARMONICS + 1)}
+    pad_len = front + max(kcn_of[n] * n + n + 2
+                          for n in range(2, MAX_HARMONICS + 1))
+    # pad_len - front >= 2*kcn_of[2] + 4 > kc always, so pm fits whole.
+    pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + kc].set(pm)
 
-    Everything except the padded harmonic-read spectrum runs on the [kc]
-    candidate band (kc ≈ the 10 kHz bin): peaks, interpolation, comb
-    state, gates, and top-k.  Bins at/above max_bin can never be peaks —
-    and the reference requires harmonic matches to be peaks too
-    (ref stft.rs:517-521) — so outputs are bit-identical to full-width.
-    `noise_floor` may be the full [H] floor or just its [kc] prefix (the
-    banded noise-floor scan)."""
-    half = mags.shape[0]
-    # Static candidate band width; at least TOP_K so the top_k below is
-    # well-formed, at most half-1 so the right-neighbor shift stays in
-    # bounds (max_bin <= half-2 guarantees masked-out extras only).
-    kc = min(half - 1, max(max_bin, TOP_K))
+    score = fund_mag
+    last = k_c
+    longest_run = jnp.zeros((kc,), jnp.int32)
+    current_run = jnp.zeros((kc,), jnp.int32)
+    total_harms = jnp.zeros((kc,), jnp.int32)
+    for n in range(2, MAX_HARMONICS + 1):
+        kcn = kcn_of[n]
+        k_n = k_c[:kcn]
+        expected_f = frac_c[:kcn] * n
+        valid_n = expected_f < half
+        search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
+        search_start = jnp.maximum(search_base, last[:kcn] + 1)
+        search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
+        # Window values for offsets c as stacked static strided slices;
+        # bounds become a broadcast band mask.  The stack is chunked to
+        # _COMB_CHUNK offsets so the transient under frame/segment vmap is
+        # [batch, frames, _COMB_CHUNK, half] instead of [.., 2n+3, ..] —
+        # ~4x less HBM at n=14, which is what allows >16 parallel segment
+        # streams per chip.  Across chunks a short strict-> select chain
+        # keeps the FIRST (lowest-c) maximum, exactly like the Rust
+        # ascending scan (ref stft.rs:517-528); within a chunk argmax
+        # already returns the first maximum.  (A fully unrolled running max
+        # — 247 select rounds — compiles pathologically under vmap on this
+        # backend; ~5 rounds per harmonic is fine.)
+        cs_py = list(range(-n - 1, n + 2))
+        nk = n * k_n
+        best_mag = jnp.zeros((kcn,), jnp.float32)
+        best_c = jnp.zeros((kcn,), jnp.int32)
+        for lo in range(0, len(cs_py), _COMB_CHUNK):
+            chunk = cs_py[lo:lo + _COMB_CHUNK]
+            cs = jnp.asarray(chunk, dtype=jnp.int32)
+            vals = jnp.stack([
+                jax.lax.slice(pm_pad, (front + c,),
+                              (front + c + kcn * n,), (n,))
+                for c in chunk], axis=0)                      # [<=CHUNK, kcn]
+            in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
+                       & (nk[None, :] + cs[:, None] <= search_end[None, :]))
+            masked = jnp.where(in_band, vals, 0.0)
+            cmax = jnp.max(masked, axis=0)
+            carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            better = cmax > best_mag                          # strict: first wins
+            best_mag = jnp.where(better, cmax, best_mag)
+            best_c = jnp.where(better, carg + lo, best_c)
+        best_h = nk + best_c - n - 1
+        found = best_mag > 0.0                                # strict-positive
+        found_eff = found & valid_n
+        miss = (~found) & valid_n
+
+        def _splice(new_prefix, old):
+            # Candidates >= kcn have valid_n false ⇒ identity update.
+            if kcn < kc:
+                return jnp.concatenate([new_prefix, old[kcn:]])
+            return new_prefix
+        score = _splice(score[:kcn] + jnp.where(found_eff, best_mag, 0.0),
+                        score)
+        last = _splice(jnp.where(found_eff, best_h, last[:kcn]), last)
+        longest_run = _splice(
+            jnp.where(miss, jnp.maximum(longest_run[:kcn], current_run[:kcn]),
+                      longest_run[:kcn]), longest_run)
+        current_run = _splice(
+            jnp.where(found_eff, current_run[:kcn] + 1,
+                      jnp.where(miss, 0, current_run[:kcn])), current_run)
+        total_harms = _splice(total_harms[:kcn] + found_eff.astype(jnp.int32),
+                              total_harms)
+    longest_run = jnp.maximum(longest_run, current_run)
+    return score, longest_run, total_harms
+
+
+def _pre_comb(mags: jax.Array, nf_c: jax.Array, min_bin: int, max_bin: int,
+              kc: int):
+    """One frame's pre-comb stage on the [kc] candidate band: local peaks
+    above the floor (ref stft.rs:461-469) + parabolic sub-bin interpolation
+    in log magnitude (ref stft.rs:484-497).  Returns
+    (pm [kc] peak-masked mags, frac_c [kc] fractional bins, m_c [kc],
+    is_peak [kc], degenerate [kc])."""
     k_c = jnp.arange(kc, dtype=jnp.int32)
     m_c = mags[:kc]
-    nf_c = noise_floor[:kc]
 
-    # ── local peaks above the floor (ref stft.rs:461-469) ────────────────
     m_l = jnp.concatenate([m_c[:1], m_c[:-1]])
     m_r = mags[1:kc + 1]
     in_range = (k_c >= min_bin + 1) & (k_c < max_bin)
     is_peak = in_range & (m_c > nf_c) & (m_c >= m_l) & (m_c >= m_r)
 
-    # ── parabolic sub-bin interpolation in log-magnitude (stft.rs:484-497)
     y = jnp.log(m_c)
     y_l = jnp.concatenate([y[:1], y[:-1]])
     y_r = jnp.log(mags[1:kc + 1])
@@ -86,6 +165,31 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     degenerate = ~jnp.isfinite(delta)
     delta = jnp.where(degenerate, 0.0, delta)
     frac_c = k_c.astype(jnp.float32) + delta
+    pm = jnp.where(is_peak, m_c, 0.0)
+    return pm, frac_c, m_c, is_peak, degenerate
+
+
+def _extract_single(mags: jax.Array, noise_floor: jax.Array,
+                    bin_width: float, min_bin: int, max_bin: int,
+                    min_freq: float, max_freq: float,
+                    comb_outs=None) -> PitchFrame:
+    """One frame: mags [H], floor [>=kc] → up to 8 (freq, score) pitches.
+
+    Everything except the padded harmonic-read spectrum runs on the [kc]
+    candidate band (kc ≈ the 10 kHz bin): peaks, interpolation, comb
+    state, gates, and top-k.  Bins at/above max_bin can never be peaks —
+    and the reference requires harmonic matches to be peaks too
+    (ref stft.rs:517-521) — so outputs are bit-identical to full-width.
+    `noise_floor` may be the full [H] floor or just its [kc] prefix (the
+    banded noise-floor scan)."""
+    half = mags.shape[0]
+    # Static candidate band width; at least TOP_K so the top_k below is
+    # well-formed, at most half-1 so the right-neighbor shift stays in
+    # bounds (max_bin <= half-2 guarantees masked-out extras only).
+    kc = min(half - 1, max(max_bin, TOP_K))
+    nf_c = noise_floor[:kc]
+    pm, frac_c, m_c, is_peak, degenerate = _pre_comb(mags, nf_c, min_bin,
+                                                     max_bin, kc)
 
     # ── harmonic comb scoring, all candidate bins in parallel
     # (stft.rs:499-545).  TPU-critical restructure: dynamic gathers (mags
@@ -103,64 +207,14 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     # the comb runs on the [kc] candidate band only: ~2.2x less compute and
     # HBM slab than full-width, with harmonics still read from the full
     # padded spectrum.
-    pm = jnp.where(is_peak, m_c, 0.0)       # [kc]; zero everywhere >= kc
-    front = MAX_HARMONICS + 2
-    pad_len = front + kc * MAX_HARMONICS + 2 * MAX_HARMONICS + 4
-    pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + kc].set(pm)
-
     fund_mag = m_c
-    score = fund_mag
-    last = k_c
-    longest_run = jnp.zeros((kc,), jnp.int32)
-    current_run = jnp.zeros((kc,), jnp.int32)
-    total_harms = jnp.zeros((kc,), jnp.int32)
-    for n in range(2, MAX_HARMONICS + 1):
-        expected_f = frac_c * n
-        valid_n = expected_f < half
-        search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
-        search_start = jnp.maximum(search_base, last + 1)
-        search_end = jnp.minimum(jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
-        # Window values for offsets c as stacked static strided slices;
-        # bounds become a broadcast band mask.  The stack is chunked to
-        # _COMB_CHUNK offsets so the transient under frame/segment vmap is
-        # [batch, frames, _COMB_CHUNK, half] instead of [.., 2n+3, ..] —
-        # ~4x less HBM at n=14, which is what allows >16 parallel segment
-        # streams per chip.  Across chunks a short strict-> select chain
-        # keeps the FIRST (lowest-c) maximum, exactly like the Rust
-        # ascending scan (ref stft.rs:517-528); within a chunk argmax
-        # already returns the first maximum.  (A fully unrolled running max
-        # — 247 select rounds — compiles pathologically under vmap on this
-        # backend; ~5 rounds per harmonic is fine.)
-        cs_py = list(range(-n - 1, n + 2))
-        nk = n * k_c
-        best_mag = jnp.zeros((kc,), jnp.float32)
-        best_c = jnp.zeros((kc,), jnp.int32)
-        for lo in range(0, len(cs_py), _COMB_CHUNK):
-            chunk = cs_py[lo:lo + _COMB_CHUNK]
-            cs = jnp.asarray(chunk, dtype=jnp.int32)
-            vals = jnp.stack([
-                jax.lax.slice(pm_pad, (front + c,),
-                              (front + c + kc * n,), (n,))
-                for c in chunk], axis=0)                      # [<=CHUNK, kc]
-            in_band = ((nk[None, :] + cs[:, None] >= search_start[None, :])
-                       & (nk[None, :] + cs[:, None] <= search_end[None, :]))
-            masked = jnp.where(in_band, vals, 0.0)
-            cmax = jnp.max(masked, axis=0)
-            carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
-            better = cmax > best_mag                          # strict: first wins
-            best_mag = jnp.where(better, cmax, best_mag)
-            best_c = jnp.where(better, carg + lo, best_c)
-        best_h = nk + best_c - n - 1
-        found = best_mag > 0.0                                # strict-positive
-        found_eff = found & valid_n
-        miss = (~found) & valid_n
-        score = score + jnp.where(found_eff, best_mag, 0.0)
-        last = jnp.where(found_eff, best_h, last)
-        longest_run = jnp.where(miss, jnp.maximum(longest_run, current_run), longest_run)
-        current_run = jnp.where(found_eff, current_run + 1,
-                                jnp.where(miss, 0, current_run))
-        total_harms = total_harms + found_eff.astype(jnp.int32)
-    longest_run = jnp.maximum(longest_run, current_run)
+    if comb_outs is not None:
+        # Batched comb ran outside the per-frame vmap (the fused Pallas
+        # kernel; see extract_pitches).
+        score, longest_run, total_harms = comb_outs
+    else:
+        score, longest_run, total_harms = _comb_xla(pm, frac_c, fund_mag,
+                                                    half)
 
     # Gates (stft.rs:479-481,536-544) — all on the [kc] candidate band.
     low_fund = fund_mag < nf_c * 5.0
@@ -221,17 +275,36 @@ def candidate_band(bin_width: float, half: int,
     return min(half - 1, max(max_bin, TOP_K))
 
 
-@partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq"))
+# Comb backend: "xla" (chunked strided-slice stacks — HBM-bound, see
+# docs/PERFORMANCE.md roofline) or "pallas" (fused VMEM-resident kernel,
+# ops/pallas_comb.py — TPU only).  Module default used by extract_pitches.
+DEFAULT_COMB = "xla"
+
+
+@partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq",
+                                   "comb"))
 def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
                     bin_width: float, min_freq: float = MIN_FREQ,
-                    max_freq: float = MAX_FREQ) -> PitchFrame:
+                    max_freq: float = MAX_FREQ,
+                    comb: str | None = None) -> PitchFrame:
     """Batched pitch extraction: mags [N, H], floor [N, H] or [N, kc]
     (see `candidate_band`) → PitchFrame [N, 8]."""
     half = mags.shape[-1]
     min_bin = max(int(np.ceil(min_freq / bin_width)), 1)
     max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)
+    comb = DEFAULT_COMB if comb is None else comb
     fn = partial(_extract_single, bin_width=bin_width, min_bin=min_bin,
                  max_bin=max_bin, min_freq=min_freq, max_freq=max_freq)
+    if comb in ("pallas", "pallas_interpret"):
+        from .pallas_comb import comb_pallas
+        kc = min(half - 1, max(max_bin, TOP_K))
+        pm, frac_c, m_c, _, _ = jax.vmap(
+            partial(_pre_comb, min_bin=min_bin, max_bin=max_bin, kc=kc)
+        )(mags, noise_floor[:, :kc])
+        comb_outs = comb_pallas(pm, frac_c, m_c, half,
+                                interpret=comb == "pallas_interpret")
+        return jax.vmap(lambda m, f, co: fn(m, f, comb_outs=co))(
+            mags, noise_floor, comb_outs)
     return jax.vmap(fn)(mags, noise_floor)
 
 
