@@ -12,11 +12,12 @@ except for rare borderline peaks sitting right at the floor threshold.
 Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
-Measured on TPU v5e (fft backend, candidate-band comb): 64 segments x
-256-frame chunks ≈ 17.7x single-stream throughput (~351k frames/s ≈ 4078x
-realtime at window 2048 / hop 512 / 44.1 kHz), with 100.000% frame
-agreement vs the sequential run measured over a 1 h mixed scene (see
-`auto_segments` for the scaling map).
+Measured on TPU v5e (fft backend, truncated candidate-band comb):
+128 segments x 128-frame chunks ≈ 19.6x single-stream raw throughput
+(~388k frames/s ≈ 4500x realtime at window 2048 / hop 512 / 44.1 kHz;
+~351k net of warmup on a 1 h file), with 100.000% frame agreement vs the
+sequential run measured over a 1 h mixed scene (see `auto_segments` for
+the scaling map).
 """
 
 from __future__ import annotations
@@ -165,17 +166,19 @@ def _pipelined_blocks(padded: np.ndarray, stream_start: np.ndarray,
         pending = nxt
 
 
-def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
+def auto_segments(n_total: int, warmup_frames: int, cap: int = 128) -> int:
     """Segment count for a recording of n_total frames: keep each segment's
-    payload near >= 20x the discarded warmup (overhead ~<= 5%), capped where
-    the v5e measurements plateau.  Measured raw step throughput (v5e, fft,
-    candidate-band comb+floor): 64seg/256cf 266k, 128/128 263k, 128/256 255k,
-    64/512 225k frames/s (351k at 64/256 after round-2 harmonic truncation)
-    — the curve is flat past 64 segments and warmup
-    overhead grows with S on a fixed-length file.  Snapped to a power of two:
-    each distinct (segments, chunk) pair is its own XLA program, and pow2
-    counts bound the compile-cache population at ~7 entries."""
-    ideal = min(cap, n_total // (warmup_frames * 20))
+    payload near >= 10x the discarded warmup (overhead ~<= 10%), capped
+    where the v5e measurements plateau.  Measured raw step throughput
+    (v5e, fft, truncated candidate-band comb, tools/segment_sweep.py):
+    128seg/128cf 388k, 256/128 380k, 128/256 375k, 64/128 370k, 32/128
+    348k, 64/256 343k, 16/128 229k frames/s — chunk 128 wins at every
+    segment count and the curve flattens past 128 segments; net-of-warmup
+    throughput on a 1 h file peaks at 128 segments (~351k) and the 10x
+    payload threshold picks the per-length optimum.  Snapped to a power of
+    two: each distinct (segments, chunk) pair is its own XLA program, and
+    pow2 counts bound the compile-cache population at ~8 entries."""
+    ideal = min(cap, n_total // (warmup_frames * 10))
     if ideal <= 1:
         return 1
     lower = 1 << (ideal.bit_length() - 1)
@@ -186,7 +189,7 @@ def auto_segments(n_total: int, warmup_frames: int, cap: int = 64) -> int:
 def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              segments: int | None = None,
                              warmup_frames: int = DEFAULT_WARMUP_FRAMES,
-                             chunk_frames: int = 256,
+                             chunk_frames: int = 128,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
                              backend: str = DEFAULT_BACKEND,
@@ -199,7 +202,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     covering all N frames of the recording, in order.
 
     `segments=None` (default) picks the count adaptively via
-    `auto_segments` — hour-scale audio fans out to 64 parallel scan
+    `auto_segments` — hour-scale audio fans out to 128 parallel scan
     streams; short clips fall back toward exact sequential analysis.
 
     With `mesh` (a 1-D jax.sharding.Mesh) the segment axis is sharded

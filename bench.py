@@ -94,12 +94,12 @@ def main():
         f"frames/s ({fps_single * hop / sr:,.0f}x realtime)")
 
     # ── segment-parallel mode (models/segmented.py): the same 1-hour file
-    # split into 16 contiguous segments analyzed in parallel with 256-frame
+    # split into contiguous segments analyzed in parallel with 256-frame
     # warmup overlap; >99% frame agreement with the sequential run is
     # verified in tests/test_segmented.py.  Guarded so a failure here (e.g.
     # an HBM regression) still reports the single-stream number.
     fps = None
-    segs, seg_cf = 64, 256    # measured v5e sweet spot (models/segmented.py)
+    segs, seg_cf = 128, 128   # measured v5e sweet spot (tools/segment_sweep.py)
     try:
         from audio_analyzer_rs_tpu.models.segmented import (
             DEFAULT_WARMUP_FRAMES, _vmapped_step)

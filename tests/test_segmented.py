@@ -168,16 +168,16 @@ def test_auto_segments_pow2_snapping():
     from audio_analyzer_rs_tpu.models.segmented import auto_segments
     # Below one payload-quantum → sequential.
     assert auto_segments(1000, 256) == 1
-    # 1h at pitch geometry (310k frames, warmup 256): ideal 60 → snaps up.
-    assert auto_segments(310_075, 256) == 64
-    # 30 min → ideal 30 → snaps up to 32; 5 min → ideal 5 → down to 4.
-    assert auto_segments(155_000, 256) == 32
-    assert auto_segments(25_800, 256) == 4
+    # 1h at pitch geometry (310k frames, warmup 256): ideal 121 → snaps up.
+    assert auto_segments(310_075, 256) == 128
+    # 30 min → ideal 60 → snaps up to 64; 5 min → ideal 10 → down to 8.
+    assert auto_segments(155_000, 256) == 64
+    assert auto_segments(25_800, 256) == 8
     # Cap respected and only pow2 values emitted.
-    assert auto_segments(10_000_000, 256) == 64
+    assert auto_segments(10_000_000, 256) == 128
     for n in range(1, 400_000, 7919):
         s = auto_segments(n, 256)
-        assert s & (s - 1) == 0 and 1 <= s <= 64
+        assert s & (s - 1) == 0 and 1 <= s <= 128
 
 
 def test_pipelined_transfer_matches_resident():
