@@ -1,0 +1,203 @@
+"""Microbenchmark: slab-build strategies for the harmonic comb.
+
+The step ablation (tools/step_ablation.py) shows the comb's harmonic loop
+is ~58% of the headline step, running at ~3% of VPU f32 peak — the cost is
+the 2n+3 stride-n lane slices per harmonic (each strided slice relayouts
+whole tiles, inflating HBM traffic by ~n).  This measures bit-exact
+alternatives at the bench-equivalent geometry:
+
+  current      ops.pitch._comb_xla (chunked stride-n lax.slice stacks)
+  patches      lax.conv_general_dilated_patches: one strided patch-extract
+               op per harmonic -> [B, 2n+3, kcn], then the same masked max
+  transpose    reshape pm_pad to [Ln, n], transpose to [n, Ln]; all window
+               values become CONTIGUOUS lane slices (4n rows per harmonic,
+               rows ordered so flat order == ascending window offset)
+
+All variants must produce bit-identical (score, longest_run, total_harms).
+
+Usage: python tools/comb_variants.py [--frames 16384] [--iters 10] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_analyzer_rs_tpu.models import generators as gen
+    from audio_analyzer_rs_tpu.ops import pitch as pitch_ops
+    from audio_analyzer_rs_tpu.ops.pitch import (MAX_HARMONICS, _comb_xla,
+                                                 _pre_comb)
+    from audio_analyzer_rs_tpu.ops.stft import stft_mags
+
+    sr = 44100.0
+    window, hop = 2048, 512
+    half = window // 2 + 1
+    bin_w = float(np.float32(sr) / np.float32(window))
+    min_bin = max(int(np.ceil(pitch_ops.MIN_FREQ / bin_w)), 1)
+    max_bin = min(int(np.floor(pitch_ops.MAX_FREQ / bin_w)), half - 2)
+    kc = pitch_ops.candidate_band(bin_w, half)
+    B = args.frames
+
+    # Realistic peak-masked inputs from a mixed scene.
+    n_src = min(B, 4096)
+    audio = gen.mixed_scene((n_src * hop + window) / sr + 1.0, sr, seed=7)
+    mags = stft_mags(audio[: n_src * hop + window], window, hop)[:n_src]
+    nf = jnp.full((n_src, kc), 1e-4, jnp.float32)
+    pm, frac_c, m_c, _, _ = jax.jit(jax.vmap(
+        lambda m, f: _pre_comb(m, f, min_bin, max_bin, kc)))(mags, nf)
+    reps = -(-B // n_src)
+    pm = jnp.tile(pm, (reps, 1))[:B]
+    frac_c = jnp.tile(frac_c, (reps, 1))[:B]
+    m_c = jnp.tile(m_c, (reps, 1))[:B]
+
+    kcn_of = {n: min(kc, half // n + 2) for n in range(2, MAX_HARMONICS + 1)}
+
+    # ── shared inner harmonic-state update (identical across variants) ────
+    def run_harmonics(vals_of, pm1, frac1, fund1):
+        """vals_of(n) -> ([rows, kcn_n] window values, [rows] offsets c) with
+        rows in ascending-c flat order; the rest is the exact _comb_xla
+        state machine."""
+        k_c = jnp.arange(kc, dtype=jnp.int32)
+        score, last = fund1, k_c
+        longest = jnp.zeros((kc,), jnp.int32)
+        current = jnp.zeros((kc,), jnp.int32)
+        total = jnp.zeros((kc,), jnp.int32)
+        for n in range(2, MAX_HARMONICS + 1):
+            kcn = kcn_of[n]
+            k_n = k_c[:kcn]
+            ef = frac1[:kcn] * n
+            valid_n = ef < half
+            sb = jnp.floor(ef - 1.0).astype(jnp.int32)
+            ss = jnp.maximum(sb, last[:kcn] + 1)
+            se = jnp.minimum(jnp.ceil(ef + 1.0).astype(jnp.int32), half - 1)
+            vals, cs = vals_of(n, kcn)
+            nk = n * k_n
+            pos = nk[None, :] + cs[:, None]
+            in_band = (pos >= ss[None, :]) & (pos <= se[None, :])
+            masked = jnp.where(in_band, vals, 0.0)
+            bm = jnp.max(masked, axis=0)
+            bc = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            bh = nk + jnp.take(cs, bc)
+            found = bm > 0.0
+            fe = found & valid_n
+            miss = (~found) & valid_n
+
+            def spl(new, old):
+                return (jnp.concatenate([new, old[kcn:]]) if kcn < kc
+                        else new)
+            score = spl(score[:kcn] + jnp.where(fe, bm, 0.0), score)
+            last = spl(jnp.where(fe, bh, last[:kcn]), last)
+            longest = spl(jnp.where(miss, jnp.maximum(longest[:kcn],
+                                                      current[:kcn]),
+                                    longest[:kcn]), longest)
+            current = spl(jnp.where(fe, current[:kcn] + 1,
+                                    jnp.where(miss, 0, current[:kcn])),
+                          current)
+            total = spl(total[:kcn] + fe.astype(jnp.int32), total)
+        return score, jnp.maximum(longest, current), total
+
+    FRONT = 32   # front pad; > n+1+ (FRONT % n) for all n<=14
+
+    def pad_front(pm1, pad_len):
+        return jnp.zeros((pad_len,), jnp.float32).at[FRONT:FRONT + kc].set(pm1)
+
+    # ── variant: patches ──────────────────────────────────────────────────
+    def comb_patches(pm1, frac1, fund1):
+        pad_len = FRONT + max(kcn_of[n] * n + 2 * n + 3
+                              for n in range(2, MAX_HARMONICS + 1))
+        pmp = pad_front(pm1, pad_len)
+
+        def vals_of(n, kcn):
+            cs = jnp.arange(-n - 1, n + 2, dtype=jnp.int32)
+            lo = FRONT - (n + 1)
+            ln = (kcn - 1) * n + 2 * n + 3
+            seg = jax.lax.slice(pmp, (lo,), (lo + ln,))
+            patches = jax.lax.conv_general_dilated_patches(
+                seg[None, None, :], (2 * n + 3,), (n,), "VALID")
+            return patches[0], cs   # [2n+3, kcn]
+        return run_harmonics(vals_of, pm1, frac1, fund1)
+
+    # ── variant: transpose ────────────────────────────────────────────────
+    def comb_transpose(pm1, frac1, fund1):
+        pad_len = FRONT + max(kcn_of[n] * n + 2 * n + 3
+                              for n in range(2, MAX_HARMONICS + 1)) + MAX_HARMONICS
+        pmp = pad_front(pm1, pad_len)
+
+        def vals_of(n, kcn):
+            # index i = FRONT + n*j + c, c = q*n + r - s where we choose the
+            # row decomposition so i = n*(j + q + k0) + r with
+            # FRONT = n*k0 + s, r in [0, n).  Rows (q, r) with c ascending:
+            # c = q*n + (r - s) for r in [s, n) then next q... simpler: fold
+            # FRONT into the column index directly.
+            ln = pad_len // n
+            pt = jnp.transpose(pmp[: ln * n].reshape(ln, n))   # [n, Ln]
+            k0, s = divmod(FRONT, n)
+            rows, cs = [], []
+            # ascending c from -(n+1) to n+1: i = FRONT + n*j + c
+            #   = n*(j + k0 + (s + c) // n) + (s + c) % n
+            for c in range(-n - 1, n + 2):
+                q, r = divmod(s + c, n)
+                rows.append(jax.lax.slice(
+                    pt, (r, k0 + q), (r + 1, k0 + q + kcn))[0])
+                cs.append(c)
+            return jnp.stack(rows), jnp.asarray(cs, jnp.int32)
+        return run_harmonics(vals_of, pm1, frac1, fund1)
+
+    variants = {
+        "current": lambda: jax.vmap(
+            lambda p, f, m: _comb_xla(p, f, m, half))(pm, frac_c, m_c),
+        "patches": lambda: jax.vmap(comb_patches)(pm, frac_c, m_c),
+        "transpose": lambda: jax.vmap(comb_transpose)(pm, frac_c, m_c),
+    }
+
+    results = {"frames": B}
+    ref_out = None
+    for tag, fn in variants.items():
+        f = jax.jit(fn)
+        try:
+            out = f()
+            jax.tree.map(np.asarray, out)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:120]
+            results[tag + "_error"] = msg
+            print(f"{tag:10s} FAILED: {msg}", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = f()
+        np.asarray(out[0]).sum()
+        dt = (time.perf_counter() - t0) / args.iters
+        results[tag + "_ms"] = round(dt * 1000, 2)
+        results[tag + "_fps"] = round(B / dt, 0)
+        print(f"{tag:10s} {dt*1000:8.2f} ms  {B/dt:12,.0f} frames/s",
+              file=sys.stderr)
+        if ref_out is None:
+            ref_out = jax.tree.map(np.asarray, out)
+        else:
+            same = all(np.array_equal(np.asarray(a), b)
+                       for a, b in zip(out, ref_out))
+            results[tag + "_exact"] = bool(same)
+            print(f"{tag:10s} bit-exact vs current: {same}", file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
