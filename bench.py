@@ -138,7 +138,8 @@ def main():
 
     baseline_fps = 100.0 * sr / hop   # north star: 100x realtime
     best = fps if fps else fps_single
-    seg_note = (f" {segs} parallel segments w/ 256-frame warmup, 100.000% "
+    seg_note = (f" {segs} parallel segments w/ "
+                f"{DEFAULT_WARMUP_FRAMES}-frame warmup, 100.000% "
                 f"frame agreement on a 1h scene (tools/agreement_1h.py); "
                 f"device-compute only, synthetic repeated chunks — e2e adds "
                 f"host->device upload; single-stream {fps_single:,.0f}"

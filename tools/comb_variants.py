@@ -12,6 +12,22 @@ alternatives at the bench-equivalent geometry:
   transpose    reshape pm_pad to [Ln, n], transpose to [n, Ln]; all window
                values become CONTIGUOUS lane slices (4n rows per harmonic,
                rows ordered so flat order == ascending window offset)
+  chain        no stack at all: ascending-c strict-greater select chain
+               accumulating (best_mag, best_pos) in [kcn] registers; XLA
+               should fuse the 2n+3 slice-reads + selects into one loop
+               fusion with no [2n+3, kcn] materialization
+  twopass      two tree reductions, no stack: best_mag = max-tree over
+               masked slices, then best_pos = min-tree of positions where
+               masked == best_mag (first-max == lowest position) — the
+               reductions are associative so XLA can fuse freely
+
+Measured v5e 2026-08-17 (16384 frames, flat vmap): current 105.4 ms,
+patches 107.6 (NOT bit-exact), transpose 109.8.  Second run (--only
+chain,twopass; current re-measured 112.45 the same run): chain 119.55,
+twopass 119.56 — both bit-exact, both ~6% slower.  XLA does NOT fuse the
+2n+3 strided slice-reads into one pass; each select/max stage re-reads
+its slice, so removing the slab buys nothing and loses the slab's tile
+reuse.  The chunked-slab comb stands.
 
 All variants must produce bit-identical (score, longest_run, total_harms).
 
@@ -32,6 +48,9 @@ def main():
     ap.add_argument("--frames", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variant names ('current' is always "
+                         "run first as the bit-exactness reference)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -161,12 +180,93 @@ def main():
             return jnp.stack(rows), jnp.asarray(cs, jnp.int32)
         return run_harmonics(vals_of, pm1, frac1, fund1)
 
+    # ── variants: chain / twopass (no slab materialization) ──────────────
+    # These mirror _comb_xla exactly (same front pad, same slices, same
+    # state updates) but replace the stack+mask+max/argmax inner step.
+    def comb_nostack(pm1, frac1, fund1, inner):
+        front = MAX_HARMONICS + 2
+        pad_len = front + max(kcn_of[n] * n + n + 2
+                              for n in range(2, MAX_HARMONICS + 1))
+        pmp = jnp.zeros((pad_len,), jnp.float32).at[front:front + kc].set(pm1)
+        k_c = jnp.arange(kc, dtype=jnp.int32)
+        score, last = fund1, k_c
+        longest = jnp.zeros((kc,), jnp.int32)
+        current = jnp.zeros((kc,), jnp.int32)
+        total = jnp.zeros((kc,), jnp.int32)
+        for n in range(2, MAX_HARMONICS + 1):
+            kcn = kcn_of[n]
+            k_n = k_c[:kcn]
+            ef = frac1[:kcn] * n
+            valid_n = ef < half
+            sb = jnp.floor(ef - 1.0).astype(jnp.int32)
+            ss = jnp.maximum(sb, last[:kcn] + 1)
+            se = jnp.minimum(jnp.ceil(ef + 1.0).astype(jnp.int32), half - 1)
+            nk = n * k_n
+
+            def val_of(c):
+                vals = jax.lax.slice(pmp, (front + c,),
+                                     (front + c + kcn * n,), (n,))
+                pos = nk + c
+                return jnp.where((pos >= ss) & (pos <= se), vals, 0.0), pos
+
+            bm, bh = inner(n, kcn, val_of)
+            found = bm > 0.0
+            fe = found & valid_n
+            miss = (~found) & valid_n
+
+            def spl(new, old):
+                return (jnp.concatenate([new, old[kcn:]]) if kcn < kc
+                        else new)
+            score = spl(score[:kcn] + jnp.where(fe, bm, 0.0), score)
+            last = spl(jnp.where(fe, bh, last[:kcn]), last)
+            longest = spl(jnp.where(miss, jnp.maximum(longest[:kcn],
+                                                      current[:kcn]),
+                                    longest[:kcn]), longest)
+            current = spl(jnp.where(fe, current[:kcn] + 1,
+                                    jnp.where(miss, 0, current[:kcn])),
+                          current)
+            total = spl(total[:kcn] + fe.astype(jnp.int32), total)
+        return score, jnp.maximum(longest, current), total
+
+    def inner_chain(n, kcn, val_of):
+        bm = jnp.zeros((kcn,), jnp.float32)
+        bh = jnp.zeros((kcn,), jnp.int32)
+        for c in range(-n - 1, n + 2):
+            v, pos = val_of(c)
+            better = v > bm                    # strict: first (lowest c) wins
+            bm = jnp.where(better, v, bm)
+            bh = jnp.where(better, pos, bh)
+        return bm, bh
+
+    def inner_twopass(n, kcn, val_of):
+        cs = list(range(-n - 1, n + 2))
+        bm = jnp.zeros((kcn,), jnp.float32)
+        for c in cs:
+            v, _ = val_of(c)
+            bm = jnp.maximum(bm, v)
+        big = jnp.full((kcn,), 2**30, jnp.int32)
+        bh = big
+        for c in cs:
+            v, pos = val_of(c)
+            bh = jnp.minimum(bh, jnp.where(v == bm, pos, big))
+        # When bm == 0 (not found) bh is garbage but unused (found=false);
+        # clamp to 0 to keep dtypes/values tame.
+        return bm, jnp.where(bm > 0.0, bh, 0)
+
     variants = {
         "current": lambda: jax.vmap(
             lambda p, f, m: _comb_xla(p, f, m, half))(pm, frac_c, m_c),
         "patches": lambda: jax.vmap(comb_patches)(pm, frac_c, m_c),
         "transpose": lambda: jax.vmap(comb_transpose)(pm, frac_c, m_c),
+        "chain": lambda: jax.vmap(
+            lambda p, f, m: comb_nostack(p, f, m, inner_chain))(pm, frac_c, m_c),
+        "twopass": lambda: jax.vmap(
+            lambda p, f, m: comb_nostack(p, f, m, inner_twopass))(pm, frac_c, m_c),
     }
+
+    if args.only:
+        keep = {"current"} | set(args.only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     results = {"frames": B}
     ref_out = None
