@@ -13,9 +13,9 @@ Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
 Measured on TPU v5e (fft backend, truncated candidate-band comb):
-128 segments x 128-frame chunks ≈ 19.6x single-stream raw throughput
-(~388k frames/s ≈ 4500x realtime at window 2048 / hop 512 / 44.1 kHz;
-~351k net of warmup on a 1 h file), with 100.000% frame agreement vs the
+128 segments x 128-frame chunks ≈ 22x single-stream raw throughput
+(~451k frames/s ≈ 5200x realtime at window 2048 / hop 512 / 44.1 kHz;
+~403k net of warmup on a 1 h file), with 100.000% frame agreement vs the
 sequential run measured over a 1 h mixed scene (see `auto_segments` for
 the scaling map).
 """

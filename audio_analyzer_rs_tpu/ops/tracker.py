@@ -136,12 +136,27 @@ def tracker_scan(state: TrackerState, raw_freqs, raw_scores, raw_valid,
     state, (freq, score, stable, seq) = jax.lax.scan(
         body, state, (raw_freqs, raw_scores, raw_valid, onsets),
         unroll=SCAN_UNROLL)
-    # Batched (parallel over frames) stable-by-seq top-8 selection.
+    # Batched (parallel over frames) stable-by-seq top-8 selection, sort-free:
+    # rank[i] = #{j : (key_j, j) < (key_i, i)} via a [T, T] comparison count
+    # (stable keys are unique seqs < int_max, so stable ranks are exactly the
+    # argsort positions), then a one-hot scatter emits the first 8.  Measured
+    # 2.3x faster than argsort/top_k + gathers at the bench geometry (XLA
+    # sorts lower to bitonic networks; tools/tracker_bench.py).  Slots with
+    # valid=False are zeroed (the former argsort gather carried unspecified
+    # values there).
     int_max = jnp.iinfo(jnp.int32).max
-    order = jnp.argsort(jnp.where(stable, seq, int_max), axis=-1)[:, :MAX_NOTES]
-    out_freq = jnp.take_along_axis(freq, order, axis=-1)
-    out_score = jnp.take_along_axis(score, order, axis=-1)
-    out_valid = jnp.take_along_axis(stable, order, axis=-1)
+    keys = jnp.where(stable, seq, int_max)                   # [N, T]
+    iota = jnp.arange(MAX_TRACKS, dtype=jnp.int32)
+    kj, ki = keys[..., None, :], keys[..., :, None]
+    less = (kj < ki) | ((kj == ki) & (iota[None, :] < iota[:, None]))
+    rank = jnp.sum(less, axis=-1).astype(jnp.int32)          # [N, T]
+    sel = stable & (rank < MAX_NOTES)
+    onehot = (jnp.where(sel, rank, MAX_NOTES)[..., None]
+              == jnp.arange(MAX_NOTES, dtype=jnp.int32))     # [N, T, 8]
+    ohf = onehot.astype(jnp.float32)
+    out_freq = jnp.einsum("nt,nts->ns", freq, ohf)
+    out_score = jnp.einsum("nt,nts->ns", score, ohf)
+    out_valid = jnp.any(onehot, axis=-2)
     return state, (out_freq, out_score, out_valid)
 
 

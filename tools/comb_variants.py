@@ -20,6 +20,11 @@ alternatives at the bench-equivalent geometry:
                masked slices, then best_pos = min-tree of positions where
                masked == best_mag (first-max == lowest position) — the
                reductions are associative so XLA can fuse freely
+  bf16         the current chunked slab with the padded peak array, slab,
+               and max-select in bfloat16 (halves the HBM-bound slab
+               bytes); score accumulates in f32.  NOT bit-exact by
+               construction — divergence stats are reported so it can be
+               judged as an opt-in fast mode
 
 Measured v5e 2026-08-17 (16384 frames, flat vmap): current 105.4 ms,
 patches 107.6 (NOT bit-exact), transpose 109.8.  Second run (--only
@@ -253,9 +258,74 @@ def main():
         # clamp to 0 to keep dtypes/values tame.
         return bm, jnp.where(bm > 0.0, bh, 0)
 
+    # ── variant: bf16 slab (precision lever, not layout) ──────────────────
+    # Mirrors _comb_xla (same chunked stacks) with the padded peak array and
+    # the slab/mask/max in bfloat16.  best_mag comparisons and the harmonic
+    # position choice happen on bf16-rounded magnitudes; the score
+    # accumulates the bf16 winner upcast to f32.
+    def comb_bf16(pm1, frac1, fund1):
+        from audio_analyzer_rs_tpu.ops.pitch import _COMB_CHUNK
+        front = MAX_HARMONICS + 2
+        pad_len = front + max(kcn_of[n] * n + n + 2
+                              for n in range(2, MAX_HARMONICS + 1))
+        pmp = jnp.zeros((pad_len,), jnp.bfloat16).at[front:front + kc].set(
+            pm1.astype(jnp.bfloat16))
+        k_c = jnp.arange(kc, dtype=jnp.int32)
+        score, last = fund1, k_c
+        longest = jnp.zeros((kc,), jnp.int32)
+        current = jnp.zeros((kc,), jnp.int32)
+        total = jnp.zeros((kc,), jnp.int32)
+        for n in range(2, MAX_HARMONICS + 1):
+            kcn = kcn_of[n]
+            k_n = k_c[:kcn]
+            ef = frac1[:kcn] * n
+            valid_n = ef < half
+            sb = jnp.floor(ef - 1.0).astype(jnp.int32)
+            ss = jnp.maximum(sb, last[:kcn] + 1)
+            se = jnp.minimum(jnp.ceil(ef + 1.0).astype(jnp.int32), half - 1)
+            cs_py = list(range(-n - 1, n + 2))
+            nk = n * k_n
+            best_mag = jnp.zeros((kcn,), jnp.bfloat16)
+            best_c = jnp.zeros((kcn,), jnp.int32)
+            for lo in range(0, len(cs_py), _COMB_CHUNK):
+                chunk = cs_py[lo:lo + _COMB_CHUNK]
+                cs = jnp.asarray(chunk, dtype=jnp.int32)
+                vals = jnp.stack([
+                    jax.lax.slice(pmp, (front + c,),
+                                  (front + c + kcn * n,), (n,))
+                    for c in chunk], axis=0)
+                in_band = ((nk[None, :] + cs[:, None] >= ss[None, :])
+                           & (nk[None, :] + cs[:, None] <= se[None, :]))
+                masked = jnp.where(in_band, vals, jnp.bfloat16(0))
+                cmax = jnp.max(masked, axis=0)
+                carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
+                better = cmax > best_mag
+                best_mag = jnp.where(better, cmax, best_mag)
+                best_c = jnp.where(better, carg + lo, best_c)
+            best_h = nk + best_c - n - 1
+            found = best_mag > jnp.bfloat16(0)
+            fe = found & valid_n
+            miss = (~found) & valid_n
+
+            def spl(new, old):
+                return (jnp.concatenate([new, old[kcn:]]) if kcn < kc
+                        else new)
+            score = spl(score[:kcn] + jnp.where(
+                fe, best_mag.astype(jnp.float32), 0.0), score)
+            last = spl(jnp.where(fe, best_h, last[:kcn]), last)
+            longest = spl(jnp.where(miss, jnp.maximum(longest[:kcn],
+                                                      current[:kcn]),
+                                    longest[:kcn]), longest)
+            current = spl(jnp.where(fe, current[:kcn] + 1,
+                                    jnp.where(miss, 0, current[:kcn])),
+                          current)
+            total = spl(total[:kcn] + fe.astype(jnp.int32), total)
+        return score, jnp.maximum(longest, current), total
+
     variants = {
         "current": lambda: jax.vmap(
             lambda p, f, m: _comb_xla(p, f, m, half))(pm, frac_c, m_c),
+        "bf16": lambda: jax.vmap(comb_bf16)(pm, frac_c, m_c),
         "patches": lambda: jax.vmap(comb_patches)(pm, frac_c, m_c),
         "transpose": lambda: jax.vmap(comb_transpose)(pm, frac_c, m_c),
         "chain": lambda: jax.vmap(
@@ -296,6 +366,20 @@ def main():
                        for a, b in zip(out, ref_out))
             results[tag + "_exact"] = bool(same)
             print(f"{tag:10s} bit-exact vs current: {same}", file=sys.stderr)
+            if not same:
+                s_new = np.asarray(out[0], np.float64)
+                s_ref = np.asarray(ref_out[0], np.float64)
+                rel = np.abs(s_new - s_ref) / np.maximum(np.abs(s_ref), 1e-12)
+                lr_mis = float(np.mean(np.asarray(out[1]) != ref_out[1]))
+                th_mis = float(np.mean(np.asarray(out[2]) != ref_out[2]))
+                results[tag + "_score_relmax"] = float(rel.max())
+                results[tag + "_score_relmean"] = float(rel.mean())
+                results[tag + "_run_mismatch"] = lr_mis
+                results[tag + "_harms_mismatch"] = th_mis
+                print(f"{tag:10s} score rel err max={rel.max():.3e} "
+                      f"mean={rel.mean():.3e}; longest_run mismatch "
+                      f"{lr_mis:.2%}, total_harms mismatch {th_mis:.2%}",
+                      file=sys.stderr)
     print(json.dumps(results))
 
 
