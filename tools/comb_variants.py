@@ -34,6 +34,14 @@ twopass 119.56 — both bit-exact, both ~6% slower.  XLA does NOT fuse the
 its slice, so removing the slab buys nothing and loses the slab's tile
 reuse.  The chunked-slab comb stands.
 
+Third run (--only bf16, 2026-08-18; current re-measured 116.8 the same
+run): bf16 110.1 ms — only 6% faster despite halving the slab bytes,
+with score rel err up to 1.1e-1 (mean 2.4e-4) from bf16-rounded
+magnitude comparisons.  The slab's HBM bytes are NOT the comb's
+bottleneck (consistent with chain/twopass: the cost is the strided
+*reads*, which bf16 does not reduce in count), so the precision loss
+buys nothing — rejected.
+
 All variants must produce bit-identical (score, longest_run, total_harms).
 
 Usage: python tools/comb_variants.py [--frames 16384] [--iters 10] [--cpu]
