@@ -12,10 +12,10 @@ except for rare borderline peaks sitting right at the floor threshold.
 Segment 0 starts from the fresh state — its outputs are bit-identical to
 the sequential run.
 
-Measured on TPU v5e (fft backend, truncated candidate-band comb):
-128 segments x 128-frame chunks ≈ 22x single-stream raw throughput
-(~451k frames/s ≈ 5200x realtime at window 2048 / hop 512 / 44.1 kHz;
-~403k net of warmup on a 1 h file), with 100.000% frame agreement vs the
+Measured on TPU v5e (fft backend, matchable-prefix comb):
+128 segments x 64-frame chunks ≈ 26x single-stream raw throughput
+(~526k frames/s ≈ 6100x realtime at window 2048 / hop 512 / 44.1 kHz;
+~475k net of warmup on a 1 h file), with 100.000% frame agreement vs the
 sequential run measured over a 1 h mixed scene (see `auto_segments` for
 the scaling map).
 """
@@ -170,12 +170,13 @@ def auto_segments(n_total: int, warmup_frames: int, cap: int = 128) -> int:
     """Segment count for a recording of n_total frames: keep each segment's
     payload near >= 10x the discarded warmup (overhead ~<= 10%), capped
     where the v5e measurements plateau.  Measured raw step throughput
-    (v5e, fft, truncated candidate-band comb, tools/segment_sweep.py):
-    128seg/128cf 388k, 256/128 380k, 128/256 375k, 64/128 370k, 32/128
-    348k, 64/256 343k, 16/128 229k frames/s — chunk 128 wins at every
-    segment count and the curve flattens past 128 segments; net-of-warmup
-    throughput on a 1 h file peaks at 128 segments (~351k) and the 10x
-    payload threshold picks the per-length optimum.  Snapped to a power of
+    (v5e, fft, matchable-prefix comb, tools/segment_sweep.py):
+    128seg/64cf 521-526k, 256/32 508k, 128/128 487k, 256/64 479k, 256/128
+    461k, 64/128 474k, 64/256 422k frames/s — chunk 64 now wins (the
+    bound-(b) comb truncation shrank the per-step slab; smaller chunks
+    shrink it further) and the curve flattens past 128 segments;
+    net-of-warmup throughput on a 1 h file peaks at 128 segments and the
+    10x payload threshold picks the per-length optimum.  Snapped to a power of
     two: each distinct (segments, chunk) pair is its own XLA program, and
     pow2 counts bound the compile-cache population at ~8 entries."""
     ideal = min(cap, n_total // (warmup_frames * 10))
@@ -189,7 +190,7 @@ def auto_segments(n_total: int, warmup_frames: int, cap: int = 128) -> int:
 def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              segments: int | None = None,
                              warmup_frames: int = DEFAULT_WARMUP_FRAMES,
-                             chunk_frames: int = 128,
+                             chunk_frames: int = 64,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
                              backend: str = DEFAULT_BACKEND,

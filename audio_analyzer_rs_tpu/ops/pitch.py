@@ -43,27 +43,38 @@ class PitchFrame(NamedTuple):
 
 
 def _comb_xla(pm: jax.Array, frac_c: jax.Array, fund_mag: jax.Array,
-              half: int):
+              half: int, max_bin: int | None = None):
     """One frame's harmonic-comb loop (ref stft.rs:499-545): pm [kc]
     (peak-masked magnitudes), frac_c [kc] fractional bins, fund_mag [kc]
     score seed → (score [kc] = fund + Σ best harmonic mags in the
     reference's accumulation order, longest_run [kc] i32, total_harms [kc]
-    i32).  See the restructuring notes in `_extract_single`."""
+    i32).  See the restructuring notes in `_extract_single`.
+
+    `max_bin`: exclusive upper bound of peak bins (the 10 kHz cap,
+    ref stft.rs:455,463).  Harmonic matches must themselves be peaks
+    (is_peak[h], stft.rs:517-521), so bins >= max_bin can never match."""
     kc = pm.shape[0]
+    if max_bin is None:
+        max_bin = kc
     k_c = jnp.arange(kc, dtype=jnp.int32)
     front = MAX_HARMONICS + 2
-    # Candidate truncation (bit-exact): harmonic n of candidate j sits at
-    # expected = frac*n >= (j-1)*n, so j >= half//n + 2 implies
-    # expected >= half and the reference skips it (valid_n false ⇒ the
-    # state update below is the identity).  Computing each harmonic only
-    # on its live prefix cuts the slab reads ~3.7x (Σ(2n+3)·min(kc,half/n)
-    # vs Σ(2n+3)·kc) and shrinks the padded read array from kc·13 to
-    # ~half+2n lanes.
-    kcn_of = {n: min(kc, half // n + 2)
+    # Candidate truncation (bit-exact, two bounds per harmonic n):
+    #  (a) existence: expected = frac*n >= (j-1)*n, so j >= half//n + 2
+    #      implies expected >= half and the reference breaks (valid_n
+    #      false ⇒ the state update below is the identity);
+    #  (b) matchability: peaks only exist below max_bin, and the search
+    #      window starts at floor(expected-1) >= (j-1)*n - 1, so
+    #      j >= max_bin//n + 3 guarantees the window holds only zeros —
+    #      a MISS, whose only state effect is the run reset applied by
+    #      the tail mask below (no slab reads needed).
+    # Computing each harmonic only on its matchable prefix cuts the slab
+    # reads ~2x again over bound (a) alone and shrinks the padded read
+    # array from ~half to ~max_bin lanes.
+    kcn_of = {n: min(kc, half // n + 2, max_bin // n + 3)
               for n in range(2, MAX_HARMONICS + 1)}
-    pad_len = front + max(kcn_of[n] * n + n + 2
-                          for n in range(2, MAX_HARMONICS + 1))
-    # pad_len - front >= 2*kcn_of[2] + 4 > kc always, so pm fits whole.
+    pad_len = front + max(max(kcn_of[n] * n + n + 2
+                              for n in range(2, MAX_HARMONICS + 1)),
+                          kc + 1)
     pm_pad = jnp.zeros((pad_len,), jnp.float32).at[front:front + kc].set(pm)
 
     score = fund_mag
@@ -130,6 +141,14 @@ def _comb_xla(pm: jax.Array, frac_c: jax.Array, fund_mag: jax.Array,
                       jnp.where(miss, 0, current_run[:kcn])), current_run)
         total_harms = _splice(total_harms[:kcn] + found_eff.astype(jnp.int32),
                               total_harms)
+        if kcn < kc:
+            # Tail candidates past the matchable prefix (bound (b)) whose
+            # harmonic still exists (expected < half) take the reference's
+            # miss branch: run reset only (stft.rs:527-531).
+            tail_miss = (k_c >= kcn) & (frac_c * n < half)
+            longest_run = jnp.where(
+                tail_miss, jnp.maximum(longest_run, current_run), longest_run)
+            current_run = jnp.where(tail_miss, 0, current_run)
     longest_run = jnp.maximum(longest_run, current_run)
     return score, longest_run, total_harms
 
@@ -214,7 +233,7 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
         score, longest_run, total_harms = comb_outs
     else:
         score, longest_run, total_harms = _comb_xla(pm, frac_c, fund_mag,
-                                                    half)
+                                                    half, max_bin)
 
     # Gates (stft.rs:479-481,536-544) — all on the [kc] candidate band.
     low_fund = fund_mag < nf_c * 5.0

@@ -99,7 +99,7 @@ def main():
     # verified in tests/test_segmented.py.  Guarded so a failure here (e.g.
     # an HBM regression) still reports the single-stream number.
     fps = None
-    segs, seg_cf = 128, 128   # measured v5e sweet spot (tools/segment_sweep.py)
+    segs, seg_cf = 128, 64    # measured v5e sweet spot (tools/segment_sweep.py)
     try:
         from audio_analyzer_rs_tpu.models.segmented import (
             DEFAULT_WARMUP_FRAMES, _vmapped_step)
