@@ -17,8 +17,8 @@ import numpy as np
 
 from .models.analyzer import OnsetAnalyzer, PitchAnalyzer
 from .ops.features import feature_pack
-from .ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW, PITCH_HOP,
-                       PITCH_WINDOW, windowed_mags)
+from .ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW,
+                       PITCH_BACKEND, PITCH_HOP, PITCH_WINDOW, windowed_mags)
 from .ops.yin import yin_pitch
 from .utils.framing import frame_signal, num_frames
 
@@ -90,7 +90,12 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
     utils.wav) with the full TPU pipeline.
 
     Returns AnalysisResult (a list of per-frame structs) by default, or the
-    columnar AnalysisArrays when `as_arrays=True`."""
+    columnar AnalysisArrays when `as_arrays=True`.
+
+    `backend` must produce the full [N, W//2+1] spectrum (the default does):
+    this rich path reuses the pitch pipeline's magnitudes for the
+    spectrogram and feature pack, so the candidate-banded pitch backend
+    (ops.stft.PITCH_BACKEND) doesn't apply here."""
     audio = np.asarray(audio)
     if audio.dtype == np.int16:
         audio = audio.astype(np.float32) / np.float32(32768.0)
@@ -166,7 +171,7 @@ def analyze_buffer(audio: np.ndarray, sample_rate: float,
 
 def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
                              segments: int | None = None,
-                             backend: str = DEFAULT_BACKEND,
+                             backend: str | None = None,
                              global_floor_db: float = -96.0,
                              feature_chunk_frames: int = 8192
                              ) -> AnalysisArrays:
@@ -180,6 +185,12 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
     (pre-hysteresis) pitch candidates are not produced in this mode:
     `raw_*` arrays are empty.  ~Sx faster than `analyze_buffer` on
     hour-scale audio.
+
+    `backend=None` (default) routes each stage to its measured-fastest
+    backend: the pitch pass uses the candidate-banded rDFT
+    (ops.stft.PITCH_BACKEND) while the onset pass and the full-spectrum
+    feature/spectrogram chunks use ops.fft.DEFAULT_BACKEND.  Passing an
+    explicit backend forces it for every stage.
     """
     import jax.numpy as jnp
 
@@ -196,8 +207,10 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
     audio_dev = _upload_f32(audio)
     n = num_frames(len(audio), PITCH_WINDOW, PITCH_HOP)
 
+    pitch_backend = backend or PITCH_BACKEND
+    full_backend = backend or DEFAULT_BACKEND
     fired, vel, _, _ = segmented_onset_analysis(
-        audio, sample_rate, segments=segments, backend=backend,
+        audio, sample_rate, segments=segments, backend=full_backend,
         global_floor_db=global_floor_db, device_audio=audio_dev)
     onsets = _onset_events(fired, vel, sample_rate)
 
@@ -214,7 +227,7 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
             spectrogram=z((0, PITCH_WINDOW // 2 + 1)), onsets=onsets)
 
     sf, ss, sv = segmented_pitch_analysis(
-        audio, sample_rate, segments=segments, backend=backend,
+        audio, sample_rate, segments=segments, backend=pitch_backend,
         global_floor_db=global_floor_db, device_audio=audio_dev)
 
     # Stateless per-frame stages, chunked to bound device memory (an hour of
@@ -239,7 +252,7 @@ def analyze_buffer_segmented(audio: np.ndarray, sample_rate: float,
         if c0 and s1 > len(audio):
             sl = jnp.pad(sl, (0, s1 - len(audio)))
         f = frame_signal(sl, PITCH_WINDOW, PITCH_HOP)
-        mags = windowed_mags(f, PITCH_WINDOW, backend=backend)
+        mags = windowed_mags(f, PITCH_WINDOW, backend=full_backend)
         feats = feature_pack(f, mags, sample_rate, PITCH_WINDOW)
         y = yin_pitch(f, sample_rate)
         lo, hi = lead, lead + m

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import noisefloor, onset as onset_ops, pitch as pitch_ops, tracker
-from ..ops.stft import (DEFAULT_BACKEND, PITCH_HOP, PITCH_WINDOW,
-                        ONSET_HOP, ONSET_WINDOW, windowed_mags)
+from ..ops.stft import (DEFAULT_BACKEND, PITCH_BACKEND, PITCH_HOP,
+                        PITCH_WINDOW, ONSET_HOP, ONSET_WINDOW, windowed_mags)
 from ..utils.framing import frame_signal, num_frames
 
 
@@ -40,22 +40,36 @@ class PitchChunkOut(NamedTuple):
                                    "return_floor", "comb"))
 def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
                          sample_rate: float, window: int = PITCH_WINDOW,
-                         hop: int = PITCH_HOP, backend: str = DEFAULT_BACKEND,
+                         hop: int = PITCH_HOP, backend: str = PITCH_BACKEND,
                          return_floor: bool = False,
                          comb: str | None = None):
     """Pre-framed audio [N, window] → pitch pipeline outputs + new states.
 
-    `comb`: harmonic-comb backend (ops/pitch.py DEFAULT_COMB when None)."""
-    mags = windowed_mags(frames, window, backend=backend)
+    `comb`: harmonic-comb backend (ops/pitch.py DEFAULT_COMB when None).
+
+    A backend suffixed "_band" (e.g. "dft_band") computes only the
+    candidate-band spectrum bins [0, kc+1) — everything the pitch pipeline
+    reads (peaks, parabolic interp, floor recurrence, comb slab) lives
+    below the 10 kHz cap, so outputs are identical while the rDFT does
+    ~2.2x less work.  The returned `mags` is then [N, kc+1]; `return_floor`
+    (devtools, wants the full surface) falls back to the full-width base
+    backend."""
+    half = window // 2 + 1
     bin_width = float(np.float32(sample_rate) / np.float32(window))
     # Band the floor recurrence to the pitch candidate bins unless the
     # caller wants the full floor surface (devtools) — output-exact, ~2.2x
     # less scan work (see noisefloor.noise_floor_scan).
-    band = (None if return_floor
-            else pitch_ops.candidate_band(bin_width, window // 2 + 1))
+    band = None if return_floor else pitch_ops.candidate_band(bin_width, half)
+    if backend.endswith("_band"):
+        base = backend[:-len("_band")]
+        stft_band = None if band is None else band + 1
+        mags = windowed_mags(frames, window, backend=base, band=stft_band)
+    else:
+        mags = windowed_mags(frames, window, backend=backend)
     nf_state, eff_floor = noisefloor.noise_floor_scan(nf_state, mags,
                                                       global_floor, band)
-    pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width, comb=comb)
+    pf = pitch_ops.extract_pitches(mags, eff_floor, bin_width, comb=comb,
+                                   true_half=half)
     tr_state, (sf, ss, sv) = tracker.tracker_scan(
         tr_state, pf.freqs, pf.scores, pf.valid, onsets)
     floor_out = eff_floor if return_floor else jnp.zeros((0, 0), jnp.float32)
@@ -73,7 +87,7 @@ class PitchAnalyzer:
     sample_rate: float
     window: int = PITCH_WINDOW
     hop: int = PITCH_HOP
-    backend: str = DEFAULT_BACKEND
+    backend: str = PITCH_BACKEND
     debug_recorder: object = None    # devtools.DebugRecorder (optional)
     # Device-memory bound for one jitted call: extract_pitches materializes
     # ~[n, 14*half] comb transients, so a single process() over an hour of

@@ -9,13 +9,16 @@ IIRs converge with time constants of ~25-50 frames (alphas 0.04/0.35/0.02,
 ref stft.rs:219-225) and the tracker within 3 frames (max life), so a
 256-frame (~3 s) warmup makes segment outputs match the exact sequential run
 except for rare borderline peaks sitting right at the floor threshold.
-Segment 0 starts from the fresh state — its outputs are bit-identical to
-the sequential run.
+Segment 0 starts from the fresh state — its outputs match the sequential
+run: bit-identically with the "fft" backend (per-row-deterministic FFT),
+and to within the GEMM's ~1e-6-relative batch-tiling rounding with the
+banded-rDFT default (ops.stft.PITCH_BACKEND — XLA may tile the dot
+differently for different chunk geometries, shifting per-row rounding).
 
-Measured on TPU v5e (fft backend, matchable-prefix comb):
-128 segments x 64-frame chunks ≈ 26x single-stream raw throughput
-(~526k frames/s ≈ 6100x realtime at window 2048 / hop 512 / 44.1 kHz;
-~475k net of warmup on a 1 h file), with 100.000% frame agreement vs the
+Measured on TPU v5e (dft_band backend, matchable-prefix comb):
+128 segments x 64-frame chunks ≈ 32x single-stream raw throughput
+(~655k frames/s ≈ 7600x realtime at window 2048 / hop 512 / 44.1 kHz;
+~517k net of warmup on a 1 h file), with >99.99% frame agreement vs the
 sequential run measured over a 1 h mixed scene (see `auto_segments` for
 the scaling map).
 """
@@ -23,6 +26,7 @@ the scaling map).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +34,24 @@ import numpy as np
 
 from ..ops import noisefloor, onset as onset_ops, tracker
 from ..ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW,
-                        PITCH_HOP, PITCH_WINDOW)
+                        PITCH_BACKEND, PITCH_HOP, PITCH_WINDOW)
 from ..utils.framing import frame_signal, num_frames
 from .analyzer import onset_analyze_frames, pitch_analyze_frames
 
 DEFAULT_WARMUP_FRAMES = 256
+
+
+class LeanPitchOut(NamedTuple):
+    """Per-step outputs the segmented path actually consumes.
+
+    `pitch_analyze_frames` also returns raw pitches, magnitudes and the
+    effective floor; returning them from the jitted step would force XLA to
+    materialize a [S, chunk, half] float32 output buffer per step (~33 MB at
+    128x64) that nothing reads — dropping them here lets XLA DCE the output
+    copies and keeps per-step live HBM to the stable pitch tensors only."""
+    stable_freqs: jax.Array   # [S, chunk, 8]
+    stable_scores: jax.Array  # [S, chunk, 8]
+    stable_valid: jax.Array   # [S, chunk, 8]
 # Onset state converges much faster than the pitch floor (flux/energy EMAs
 # with per-frame alphas 0.84-0.89, TC < 10 frames; rise-once burst floors),
 # but frames are also much shorter (hop 64 ≈ 1.45 ms), so a longer frame
@@ -53,12 +70,14 @@ def _chunks_to_f32(audio_chunks):
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend"))
 def _vmapped_step(nf_states, tr_states, audio_chunks, global_floor, onsets,
                   sample_rate: float, window: int, hop: int,
-                  backend: str = DEFAULT_BACKEND):
+                  backend: str = PITCH_BACKEND):
     audio_chunks = _chunks_to_f32(audio_chunks)
     def one(nf, tr, audio, gf, on):
         frames = frame_signal(audio, window, hop)
-        return pitch_analyze_frames(nf, tr, frames, gf, on, sample_rate,
-                                    window, hop, backend)
+        nf, tr, out = pitch_analyze_frames(nf, tr, frames, gf, on,
+                                           sample_rate, window, hop, backend)
+        return nf, tr, LeanPitchOut(out.stable_freqs, out.stable_scores,
+                                    out.stable_valid)
     return jax.vmap(one)(nf_states, tr_states, audio_chunks, global_floor,
                          onsets)
 
@@ -89,8 +108,10 @@ def _vmapped_step_resident(nf_states, tr_states, seg_streams, offset,
 
     def one(nf, tr, audio, gf, on):
         frames = frame_signal(audio, window, hop)
-        return pitch_analyze_frames(nf, tr, frames, gf, on, sample_rate,
-                                    window, hop, backend)
+        nf, tr, out = pitch_analyze_frames(nf, tr, frames, gf, on,
+                                           sample_rate, window, hop, backend)
+        return nf, tr, LeanPitchOut(out.stable_freqs, out.stable_scores,
+                                    out.stable_valid)
     return jax.vmap(one)(nf_states, tr_states, chunks, global_floor, onsets)
 
 
@@ -193,7 +214,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              chunk_frames: int = 64,
                              window: int = PITCH_WINDOW,
                              hop: int = PITCH_HOP,
-                             backend: str = DEFAULT_BACKEND,
+                             backend: str = PITCH_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None, device_audio=None,
                              transfer: str = "resident"):
@@ -227,7 +248,9 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
         segments = auto_segments(n_total, warmup_frames)
 
     # Every segment's stream is L = warmup + payload frames; segment 0's
-    # whole stream is payload (fresh state = exact), segments 1.. discard
+    # whole stream is payload (fresh state — exact semantics; see the module
+    # docstring for the GEMM backend's geometry-rounding caveat), segments
+    # 1.. discard
     # the first `warmup` outputs.  Payload split:
     #   seg 0 owns frames [0, L); seg s>=1 owns [L + (s-1)P, L + sP).
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))

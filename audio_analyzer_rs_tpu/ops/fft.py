@@ -3,17 +3,22 @@
 Replaces the reference's realfft/rustfft wrapper (ref src/dsp/fft.rs:1-102).
 Two device backends:
 
-* ``fft``  — `jnp.fft.rfft` (XLA's native FFT lowering).  The default: on
-  TPU v5e it wins end-to-end (segmented pitch pipeline 128.8k vs 96.8k
-  frames/s over ``dft``) and compiles ~50x faster (3.4s vs 176s for the
-  2048-pt batched program); relative MSE vs a float64 oracle is ~3e-14.
+* ``fft``  — `jnp.fft.rfft` (XLA's native FFT lowering).  The general
+  default (DEFAULT_BACKEND): fastest full-spectrum magnitudes and ~50x
+  faster to compile than the full-width GEMM (3.4s vs 176s for the 2048-pt
+  batched program); relative MSE vs a float64 oracle ~2e-14.
 * ``dft``  — GEMM-native rDFT: `frames[N, W] @ trig[W, 2H]` on the MXU, then
-  a fused square/add/sqrt.  At W=2048 this is ~75x the FLOPs of a split-radix
-  FFT; fp32 with HIGHEST precision keeps |X| within ~3e-14 relative MSE of a
-  float64 oracle (validated in tests/test_stft.py).  Kept as a
-  cross-validation twin and for backends with weak FFT lowering.
+  a fused square/add/sqrt.  At W=2048 full width this is ~75x the FLOPs of a
+  split-radix FFT and loses to ``fft`` (TPU v5e, tools/stft_variants.py:
+  3.63 vs 3.38 ms at the bench geometry) — but the `band` parameter makes it
+  the *pitch-pipeline* winner: truncated to the ~465-bin candidate band it
+  does ~2.2x less work than full width and beats the (monolithic,
+  untruncatable) FFT 2.41 vs 3.38 ms, with *better* fidelity (rel MSE
+  7.3e-15 vs 1.9e-14 — one HIGHEST-precision f32 dot per bin vs the FFT's
+  cascaded rounding).  See ops.stft.PITCH_BACKEND.
 
-Both return magnitude spectra `[..., W//2+1]` matching `Complex::norm()`.
+Both return magnitude spectra `[..., W//2+1]` (or `[..., band]`) matching
+`Complex::norm()`.
 """
 
 from __future__ import annotations
@@ -25,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # Measured on TPU v5e (see module docstring): jnp.fft wins wall-clock and
-# compile time at both analysis window sizes while matching fidelity.
+# compile time for *full-spectrum* magnitudes at both analysis window sizes.
+# The pitch pipeline overrides this with the banded rDFT
+# (ops.stft.PITCH_BACKEND), which consumes only the candidate band.
 DEFAULT_BACKEND = "fft"
 
 
@@ -50,21 +57,33 @@ def _rdft_trig(n: int) -> np.ndarray:
     return trig
 
 
-@partial(jax.jit, static_argnames=("backend",))
-def rfft_mag(frames: jax.Array, backend: str = DEFAULT_BACKEND) -> jax.Array:
-    """Magnitude spectrum of real frames: [..., W] → [..., W//2+1] float32."""
+@partial(jax.jit, static_argnames=("backend", "band"))
+def rfft_mag(frames: jax.Array, backend: str = DEFAULT_BACKEND,
+             band: int | None = None) -> jax.Array:
+    """Magnitude spectrum of real frames: [..., W] → [..., B] float32.
+
+    `band` (static): compute only the first `band` bins (B = band; default
+    B = W//2+1).  The pitch pipeline consumes only the candidate band
+    (`ops.pitch.candidate_band` + 1 bins; everything above the 10 kHz cap is
+    unread — see models/analyzer.py), so a banded rDFT does ~2.2x less MXU
+    work and writes ~2.2x fewer bins.  With backend "fft" the full FFT is
+    still computed (XLA's FFT is monolithic); only the output write narrows.
+    """
     n = frames.shape[-1]
     half = n // 2 + 1
+    if band is None or band >= half:
+        band = half
     if backend == "fft":
-        return jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)).astype(jnp.float32)
-    trig = jnp.asarray(_rdft_trig(n))
+        mags = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)).astype(jnp.float32)
+        return mags if band == half else mags[..., :band]
+    trig = jnp.asarray(_rdft_trig(n)[:, :2 * band])
     re_im = jax.lax.dot_general(
         frames.astype(jnp.float32), trig,
         dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    re_im = re_im.reshape(frames.shape[:-1] + (half, 2))
+    re_im = re_im.reshape(frames.shape[:-1] + (band, 2))
     return jnp.sqrt(re_im[..., 0] ** 2 + re_im[..., 1] ** 2)
 
 

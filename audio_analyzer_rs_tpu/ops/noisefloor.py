@@ -82,9 +82,16 @@ def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
     require bins below the 10 kHz cap), so banding is output-exact there
     and ~2.2x cheaper.  Use band=None whenever the full-width floor itself
     is consumed (devtools visualization).
+
+    `mags` may itself be banded (fewer columns than the state width, from a
+    banded rDFT) as long as it covers `band`; the above-band state is then
+    frozen with no first-frame seeding (those magnitudes were never
+    computed).
     """
-    half = mags.shape[-1]
+    half = state.floor.shape[-1]
     if band is None or band >= half:
+        assert mags.shape[-1] >= half, (
+            "full-width scan needs full-width magnitudes")
         def body(s, inp):
             m, g = inp
             return _step(s, m, g)
@@ -103,11 +110,19 @@ def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
     # first-frame rule on an uninitialized state (ref stft.rs:326-331).
     # Without this, switching the same state to a full-width scan later
     # (attaching the debug recorder mid-stream) would start the above-band
-    # floors from zero instead of a plausible frame-seeded value.
-    seed_floor = jnp.maximum(mags[0, band:], global_floor[0] * 5.0)
-    tail_floor = jnp.where(state.initialized, state.floor[band:], seed_floor)
-    tail_prev = jnp.where(state.initialized, state.prev_mag[band:],
-                          mags[0, band:])
+    # floors from zero instead of a plausible frame-seeded value.  With
+    # banded input magnitudes there is nothing to seed from — the tail
+    # stays frozen (only reachable from the lean segmented/bench path,
+    # which never reads it).
+    if mags.shape[-1] >= half:
+        seed_floor = jnp.maximum(mags[0, band:half], global_floor[0] * 5.0)
+        tail_floor = jnp.where(state.initialized, state.floor[band:],
+                               seed_floor)
+        tail_prev = jnp.where(state.initialized, state.prev_mag[band:],
+                              mags[0, band:half])
+    else:
+        tail_floor = state.floor[band:]
+        tail_prev = state.prev_mag[band:]
     new_state = NoiseFloorState(
         jnp.concatenate([sub.floor, tail_floor]),
         jnp.concatenate([sub.prev_mag, tail_prev]),

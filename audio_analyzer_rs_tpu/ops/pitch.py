@@ -191,8 +191,8 @@ def _pre_comb(mags: jax.Array, nf_c: jax.Array, min_bin: int, max_bin: int,
 def _extract_single(mags: jax.Array, noise_floor: jax.Array,
                     bin_width: float, min_bin: int, max_bin: int,
                     min_freq: float, max_freq: float,
-                    comb_outs=None) -> PitchFrame:
-    """One frame: mags [H], floor [>=kc] → up to 8 (freq, score) pitches.
+                    comb_outs=None, true_half: int | None = None) -> PitchFrame:
+    """One frame: mags [H or >=kc+1], floor [>=kc] → up to 8 (freq, score).
 
     Everything except the padded harmonic-read spectrum runs on the [kc]
     candidate band (kc ≈ the 10 kHz bin): peaks, interpolation, comb
@@ -200,8 +200,11 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     and the reference requires harmonic matches to be peaks too
     (ref stft.rs:517-521) — so outputs are bit-identical to full-width.
     `noise_floor` may be the full [H] floor or just its [kc] prefix (the
-    banded noise-floor scan)."""
-    half = mags.shape[0]
+    banded noise-floor scan); `mags` may likewise be banded to kc+1 bins
+    (a banded rDFT), in which case `true_half` carries the real spectrum
+    width W//2+1 (the comb's harmonic-existence bound, which must not
+    shrink with the band)."""
+    half = true_half if true_half is not None else mags.shape[0]
     # Static candidate band width; at least TOP_K so the top_k below is
     # well-formed, at most half-1 so the right-neighbor shift stays in
     # bounds (max_bin <= half-2 guarantees masked-out extras only).
@@ -301,19 +304,22 @@ DEFAULT_COMB = "xla"
 
 
 @partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq",
-                                   "comb"))
+                                   "comb", "true_half"))
 def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
                     bin_width: float, min_freq: float = MIN_FREQ,
                     max_freq: float = MAX_FREQ,
-                    comb: str | None = None) -> PitchFrame:
-    """Batched pitch extraction: mags [N, H], floor [N, H] or [N, kc]
+                    comb: str | None = None,
+                    true_half: int | None = None) -> PitchFrame:
+    """Batched pitch extraction: mags [N, H] (or [N, kc+1] banded, with
+    `true_half` = the real W//2+1), floor [N, H] or [N, kc]
     (see `candidate_band`) → PitchFrame [N, 8]."""
-    half = mags.shape[-1]
+    half = true_half if true_half is not None else mags.shape[-1]
     min_bin = max(int(np.ceil(min_freq / bin_width)), 1)
     max_bin = min(int(np.floor(max_freq / bin_width)), half - 2)
     comb = DEFAULT_COMB if comb is None else comb
     fn = partial(_extract_single, bin_width=bin_width, min_bin=min_bin,
-                 max_bin=max_bin, min_freq=min_freq, max_freq=max_freq)
+                 max_bin=max_bin, min_freq=min_freq, max_freq=max_freq,
+                 true_half=half)
     if comb in ("pallas", "pallas_interpret"):
         from .pallas_comb import comb_pallas
         kc = min(half - 1, max(max_bin, TOP_K))

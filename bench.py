@@ -1,10 +1,11 @@
 """Headline benchmark: pitch STFT+feature frames/sec/chip on 44.1 kHz mono.
 
-Runs the flagship pitch pipeline (frame → Hann window × rFFT magnitude →
+Runs the flagship pitch pipeline (frame → Hann window × rDFT magnitude →
 per-bin noise-floor scan → harmonic-comb pitch extraction → tracker scan) on
 the real TPU chip over 1 hour of synthesized 44.1 kHz mono audio, streamed in
-fixed-size chunks with state carry.  FFT backend: jnp.fft (the package
-default; see ops/fft.py for the measured comparison vs the GEMM-native rDFT).
+fixed-size chunks with state carry.  STFT backend: the candidate-banded MXU
+GEMM rDFT (ops.stft.PITCH_BACKEND; see ops/fft.py and
+tools/stft_variants.py for the measured comparison vs jnp.fft).
 
 Baseline: the Rust reference is realtime by construction (86.13 frames/s at
 window 2048 / hop 512, ref src/audio_io/stft.rs:169-171); the north star is
@@ -47,19 +48,28 @@ def main():
         f"{n_chunks} chunks for 1h")
 
     # ── fidelity gate: spectral MSE vs float64 oracle ───────────────────
+    # Gate the production pitch backend (the banded rDFT's dot products are
+    # the full-width GEMM's column prefix, so full-width checks the math).
+    from audio_analyzer_rs_tpu.ops.stft import PITCH_BACKEND
     probe = gen.tone_with_harmonics(220.0, 1.0, sr, harmonics=8, amplitude=0.5)
-    mags = np.asarray(stft_mags(probe, window, hop))
+    mags = np.asarray(stft_mags(probe, window, hop, backend=PITCH_BACKEND))
     oracle = stft_mags_np(probe, window, hop)
     mse = float(np.mean((mags - oracle) ** 2) / np.mean(oracle ** 2))
-    log(f"spectral relative MSE vs float64 oracle: {mse:.3e}")
+    log(f"spectral relative MSE vs float64 oracle ({PITCH_BACKEND}): {mse:.3e}")
     assert mse < 1e-6, f"fidelity gate failed: {mse}"
 
     # ── build jitted streaming step ─────────────────────────────────────
+    # Lean jit boundary: return only the stable-pitch outputs (what the
+    # reference worker emits, ref stft.rs:387-390) so XLA drops the [N, half]
+    # magnitude/raw output buffers (they are intermediates, not products).
     @jax.jit
     def step(nf_state, tr_state, audio, gf):
         frames = frame_signal(audio, window, hop)
-        return pitch_analyze_frames(nf_state, tr_state, frames, gf,
-                                    jnp.zeros((chunk_frames,), bool), sr)
+        nf_state, tr_state, out = pitch_analyze_frames(
+            nf_state, tr_state, frames, gf,
+            jnp.zeros((chunk_frames,), bool), sr)
+        return nf_state, tr_state, (out.stable_freqs, out.stable_scores,
+                                    out.stable_valid)
 
     rng = np.random.default_rng(0)
     base = gen.tone_with_harmonics(220.0, chunk_samples / sr, sr,
@@ -74,7 +84,7 @@ def main():
     def force(x):
         # On the axon backend block_until_ready does not actually block;
         # a host readback of a small leaf guarantees completion.
-        return np.asarray(x.stable_valid).sum()
+        return np.asarray(x[2]).sum()
 
     # Warmup / compile.
     t0 = time.perf_counter()
@@ -119,7 +129,10 @@ def main():
         nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,
                                          sr, window, hop)
         _ = np.asarray(outb.stable_valid).sum()
-        seg_iters = max(total_frames_target // (segs * seg_cf), 4)
+        # 3x the 1-hour workload per timing run: 37 steps is only ~0.6 s of
+        # device time, which measured +/-2% run-to-run; ~111 steps (~1.7 s)
+        # tightens the headline's variance below the effects we report.
+        seg_iters = 3 * max(total_frames_target // (segs * seg_cf), 4)
         t0 = time.perf_counter()
         for _ in range(seg_iters):
             nf_b, tr_b, outb = _vmapped_step(nf_b, tr_b, audio_b, gf_b, on_b,

@@ -223,16 +223,30 @@ def test_pitch_analyzer_streaming_matches_batch():
 
 def test_process_internal_chunking_is_transparent():
     """process() splits big inputs into max_chunk_frames pieces with state
-    carried; outputs must be bit-identical to one unsplit call (the chunked
-    path is what keeps hour-scale analyze_buffer within HBM)."""
+    carried; with a per-row-deterministic STFT backend ("fft") outputs must
+    be bit-identical to one unsplit call (the chunked path is what keeps
+    hour-scale analyze_buffer within HBM).  The GEMM default (PITCH_BACKEND)
+    is only tolerance-identical across chunk geometries — XLA tiles the dot
+    differently per batch size, so per-row rounding shifts by ~1e-6 relative
+    (see ops/stft.py PITCH_BACKEND notes)."""
     x = gen.tone_with_harmonics(220.0, 1.5, SR, harmonics=6, amplitude=0.4)
-    one = PitchAnalyzer(SR).process(x)
-    an = PitchAnalyzer(SR, max_chunk_frames=17)   # force many ragged chunks
+    one = PitchAnalyzer(SR, backend="fft").process(x)
+    an = PitchAnalyzer(SR, backend="fft", max_chunk_frames=17)  # ragged chunks
     many = an.process(x)
     np.testing.assert_array_equal(one.stable_freqs, many.stable_freqs)
     np.testing.assert_array_equal(one.stable_valid, many.stable_valid)
     np.testing.assert_array_equal(one.raw_freqs, many.raw_freqs)
     np.testing.assert_array_equal(one.mags, many.mags)
+
+    # Default (banded GEMM) backend: same decisions, tolerance-level values.
+    one_d = PitchAnalyzer(SR).process(x)
+    many_d = PitchAnalyzer(SR, max_chunk_frames=17).process(x)
+    np.testing.assert_array_equal(one_d.stable_valid, many_d.stable_valid)
+    np.testing.assert_allclose(one_d.stable_freqs, many_d.stable_freqs,
+                               rtol=1e-5, atol=1e-3)
+    # atol covers near-silent bins where the GEMM's ~1e-5 absolute rounding
+    # noise dwarfs the (tiny) true magnitude.
+    np.testing.assert_allclose(one_d.mags, many_d.mags, rtol=1e-4, atol=1e-4)
 
 
 def test_banded_floor_seeds_above_band_state():
@@ -250,3 +264,51 @@ def test_banded_floor_seeds_above_band_state():
     np.testing.assert_array_equal(
         above, np.maximum(mags[0, band:], gf[0] * 5.0))
     assert np.asarray(state.prev_mag[band:]).min() > 0.0
+
+
+@pytest.mark.parametrize("base", ["fft", "dft"])
+def test_banded_stft_backend_is_output_exact(base):
+    """backend="<base>_band" computes only the candidate-band spectrum bins
+    (everything the pitch pipeline reads sits below the 10 kHz cap, see
+    models/analyzer.pitch_analyze_frames); stable pitch outputs must be
+    bit-identical to the full-width base backend — each banded rDFT column
+    is the same dot product / the same FFT bins sliced."""
+    import jax.numpy as jnp
+    from audio_analyzer_rs_tpu.models.analyzer import pitch_analyze_frames
+    from audio_analyzer_rs_tpu.utils.framing import frame_signal
+
+    x = gen.mixed_scene(1.2, SR, seed=11)
+    frames = frame_signal(jnp.asarray(x), WINDOW, 512)
+    n = frames.shape[0]
+    gf = jnp.full((n,), 1e-3, jnp.float32)
+    onsets = np.zeros(n, bool)
+    onsets[n // 3] = True
+
+    outs = {}
+    states = {}
+    for backend in (base, base + "_band"):
+        nf = noisefloor.init_state(HALF)
+        tr = tracker.init_state()
+        nf, tr, out = pitch_analyze_frames(
+            nf, tr, frames, gf, jnp.asarray(onsets), SR, backend=backend)
+        outs[backend] = out
+        states[backend] = (nf, tr)
+    full, banded = outs[base], outs[base + "_band"]
+    np.testing.assert_array_equal(np.asarray(full.stable_freqs),
+                                  np.asarray(banded.stable_freqs))
+    np.testing.assert_array_equal(np.asarray(full.stable_scores),
+                                  np.asarray(banded.stable_scores))
+    np.testing.assert_array_equal(np.asarray(full.stable_valid),
+                                  np.asarray(banded.stable_valid))
+    np.testing.assert_array_equal(np.asarray(full.raw_freqs),
+                                  np.asarray(banded.raw_freqs))
+    # The banded mags are a prefix of the full spectrum.
+    band = np.asarray(banded.mags).shape[-1]
+    assert band < HALF
+    np.testing.assert_array_equal(np.asarray(full.mags)[:, :band],
+                                  np.asarray(banded.mags))
+    # Carried floor state agrees on the candidate band (above-band tail is
+    # frozen in banded mode — never consumed there).
+    np.testing.assert_array_equal(
+        np.asarray(states[base][0].floor)[:band - 1],
+        np.asarray(states[base + "_band"][0].floor)[:band - 1])

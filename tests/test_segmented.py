@@ -50,7 +50,10 @@ def test_segmented_matches_sequential():
         agree += a == b
     assert agree / n > 0.99, f"only {agree}/{n} frames agree"
 
-    # Segment 0 starts from the fresh state → bit-identical prefix.
+    # Segment 0 starts from the fresh state → bit-identical prefix.  (With
+    # the GEMM pitch backend this additionally relies on XLA:CPU's dot
+    # tiling being row-stable for batch sizes >= 64 — both runs' chunk
+    # geometries are; see ops/stft.py PITCH_BACKEND notes.)
     first_seg = min(n, 128 + 256)
     np.testing.assert_array_equal(sf[:first_seg],
                                   out.stable_freqs[:first_seg])

@@ -25,6 +25,16 @@ alternatives at the bench-equivalent geometry:
                bytes); score accumulates in f32.  NOT bit-exact by
                construction — divergence stats are reported so it can be
                judged as an opt-in fast mode
+  fminor       frames-MINOR layout: transpose the whole batch once to
+               pm_T [pad_bins, B] and run the comb with candidates on the
+               major axis and frames on lanes.  The stride-n slices then
+               stride the MAJOR dim: each read chunk is a full 128-lane
+               row (512 B — exactly the HBM/DRAM burst), so the ~n-fold
+               lane-amplification of the frames-major slab disappears;
+               nominal slab traffic drops from ~470 KB to ~64 KB/frame.
+               Same chunked stack + argmax inner step as current.
+  fminor_chain same layout, ascending-c strict-greater select chain (no
+               stack) — each slice read once, zero slab materialization
 
 Measured v5e 2026-08-17 (16384 frames, flat vmap): current 105.4 ms,
 patches 107.6 (NOT bit-exact), transpose 109.8.  Second run (--only

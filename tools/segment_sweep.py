@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--configs", default="64x256,128x128,128x256,64x512,"
                                          "32x512,128x512,256x128")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--backend", default=None,
+                    help="STFT backend (ops/stft.py; default = package "
+                         "default)")
     args = ap.parse_args()
 
     import jax
@@ -30,14 +33,15 @@ def main():
     import numpy as np
 
     from audio_analyzer_rs_tpu.models import generators as gen
-    from audio_analyzer_rs_tpu.models.analyzer import pitch_analyze_frames
+    from audio_analyzer_rs_tpu.models.segmented import _vmapped_step
     from audio_analyzer_rs_tpu.ops import noisefloor, tracker
-    from audio_analyzer_rs_tpu.utils.framing import frame_signal
+    from audio_analyzer_rs_tpu.ops.stft import DEFAULT_BACKEND
 
     sr = 44100.0
     window, hop = 2048, 512
     half = window // 2 + 1
-    results = {}
+    backend = args.backend or DEFAULT_BACKEND
+    results = {"backend": backend}
 
     for cfgs in args.configs.split(","):
         segs, cf = (int(v) for v in cfgs.split("x"))
@@ -55,11 +59,10 @@ def main():
         gf = jnp.full((segs, cf), 1e-3, jnp.float32)
         on = jnp.zeros((segs, cf), bool)
 
-        def one(nf1, tr1, a, g, o):
-            frames = frame_signal(a, window, hop)
-            return pitch_analyze_frames(nf1, tr1, frames, g, o, sr,
-                                        window, hop)
-        f = jax.jit(lambda: jax.vmap(one)(nf_s, tr_s, seg_audio, gf, on))
+        # The bench's lean vmapped step (stable-pitch outputs only).
+        def f():
+            return _vmapped_step(nf_s, tr_s, seg_audio, gf, on, sr,
+                                 window, hop, backend)
         try:
             t0 = time.perf_counter()
             outs = f()
