@@ -153,6 +153,106 @@ def _comb_xla(pm: jax.Array, frac_c: jax.Array, fund_mag: jax.Array,
     return score, longest_run, total_harms
 
 
+def _comb_fminor(pm: jax.Array, frac_c: jax.Array, fund_mag: jax.Array,
+                 half: int, max_bin: int):
+    """Batched frames-MINOR harmonic comb: pm/frac_c/fund_mag [N, kc] →
+    (score, longest_run, total_harms) [N, kc].  Bit-exact reformulation of
+    `_comb_xla` (same truncation bounds, same chunked first-max argmax,
+    same tail-miss mask) operating on the whole frame batch at once.
+
+    Why: `_comb_xla`'s stride-n slices stride the LANE (minor) axis, so the
+    hardware reads ~n of every n lanes' tiles and discards most — real HBM
+    traffic is ~n-fold the nominal slab size, and the roofline shows the
+    step pinned at the HBM roof.  Transposing once per call to
+    pm_T [pad_bins, N] puts candidates on the major axis: each stride-n
+    slice then reads whole 128-lane rows (one 512 B burst each, fully
+    consumed) — the amplification disappears.  Measured on TPU v5e
+    (tools/comb_variants.py, 16,384 frames, same run): 199.1 ms → 130.4 ms
+    (1.53x), bit-exact.
+
+    Inside the FULL production step, however, the advantage vanishes:
+    nested-vmap step with comb="xla" 13.73 ms vs comb="fminor" 13.81 ms at
+    128x64/dft_band (v5e, same-session A/B) — XLA fuses the strided slab
+    reads into the surrounding step so the standalone amplification never
+    hits HBM there, and a flattened-batch restructure of the step to feed
+    this comb regressed other stages (jnp.fft 3x slower on the flat
+    [8192, W] batch than under the segment vmap).  So `DEFAULT_COMB`
+    remains "xla"; this backend stays as the measured, tested, bit-exact
+    alternate for standalone extraction workloads."""
+    n_frames = pm.shape[0]
+    kc = pm.shape[1]
+    front = MAX_HARMONICS + 2
+    kcn_of = {n: min(kc, half // n + 2, max_bin // n + 3)
+              for n in range(2, MAX_HARMONICS + 1)}
+    pad_len = front + max(max(kcn_of[n] * n + n + 2
+                              for n in range(2, MAX_HARMONICS + 1)),
+                          kc + 1)
+    pmT = jnp.zeros((pad_len, n_frames), jnp.float32
+                    ).at[front:front + kc, :].set(pm.T)
+    fracT = frac_c.T                                   # [kc, N]
+    k_c = jnp.arange(kc, dtype=jnp.int32)
+    score = fund_mag.T
+    last = jnp.broadcast_to(k_c[:, None], (kc, n_frames))
+    longest_run = jnp.zeros((kc, n_frames), jnp.int32)
+    current_run = jnp.zeros((kc, n_frames), jnp.int32)
+    total_harms = jnp.zeros((kc, n_frames), jnp.int32)
+    for n in range(2, MAX_HARMONICS + 1):
+        kcn = kcn_of[n]
+        expected_f = fracT[:kcn] * n
+        valid_n = expected_f < half
+        search_base = jnp.floor(expected_f - 1.0).astype(jnp.int32)
+        search_start = jnp.maximum(search_base, last[:kcn] + 1)
+        search_end = jnp.minimum(
+            jnp.ceil(expected_f + 1.0).astype(jnp.int32), half - 1)
+        nk = (n * k_c[:kcn])[:, None]                  # [kcn, 1]
+        cs_py = list(range(-n - 1, n + 2))
+        best_mag = jnp.zeros((kcn, n_frames), jnp.float32)
+        best_c = jnp.zeros((kcn, n_frames), jnp.int32)
+        for lo in range(0, len(cs_py), _COMB_CHUNK):
+            chunk = cs_py[lo:lo + _COMB_CHUNK]
+            cs = jnp.asarray(chunk, dtype=jnp.int32)
+            vals = jnp.stack([
+                jax.lax.slice(pmT, (front + c, 0),
+                              (front + c + kcn * n, n_frames), (n, 1))
+                for c in chunk], axis=0)               # [<=CHUNK, kcn, N]
+            pos = nk[None] + cs[:, None, None]
+            in_band = ((pos >= search_start[None])
+                       & (pos <= search_end[None]))
+            masked = jnp.where(in_band, vals, 0.0)
+            cmax = jnp.max(masked, axis=0)
+            carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
+            better = cmax > best_mag                   # strict: first wins
+            best_mag = jnp.where(better, cmax, best_mag)
+            best_c = jnp.where(better, carg + lo, best_c)
+        best_h = nk + best_c - n - 1
+        found = best_mag > 0.0
+        found_eff = found & valid_n
+        miss = (~found) & valid_n
+
+        def _splice(new_prefix, old):
+            if kcn < kc:
+                return jnp.concatenate([new_prefix, old[kcn:]], axis=0)
+            return new_prefix
+        score = _splice(score[:kcn] + jnp.where(found_eff, best_mag, 0.0),
+                        score)
+        last = _splice(jnp.where(found_eff, best_h, last[:kcn]), last)
+        longest_run = _splice(
+            jnp.where(miss, jnp.maximum(longest_run[:kcn], current_run[:kcn]),
+                      longest_run[:kcn]), longest_run)
+        current_run = _splice(
+            jnp.where(found_eff, current_run[:kcn] + 1,
+                      jnp.where(miss, 0, current_run[:kcn])), current_run)
+        total_harms = _splice(
+            total_harms[:kcn] + found_eff.astype(jnp.int32), total_harms)
+        if kcn < kc:
+            tail_miss = (k_c[:, None] >= kcn) & (fracT * n < half)
+            longest_run = jnp.where(
+                tail_miss, jnp.maximum(longest_run, current_run), longest_run)
+            current_run = jnp.where(tail_miss, 0, current_run)
+    longest_run = jnp.maximum(longest_run, current_run)
+    return score.T, longest_run.T, total_harms.T
+
+
 def _pre_comb(mags: jax.Array, nf_c: jax.Array, min_bin: int, max_bin: int,
               kc: int):
     """One frame's pre-comb stage on the [kc] candidate band: local peaks
@@ -297,9 +397,13 @@ def candidate_band(bin_width: float, half: int,
     return min(half - 1, max(max_bin, TOP_K))
 
 
-# Comb backend: "xla" (chunked strided-slice stacks — HBM-bound, see
-# docs/PERFORMANCE.md roofline) or "pallas" (fused VMEM-resident kernel,
-# ops/pallas_comb.py — TPU only).  Module default used by extract_pitches.
+# Comb backend: "xla" (per-frame chunked strided-slice stacks vmapped over
+# frames — the default; fastest inside the fused production step), "fminor"
+# (batched frames-minor layout — 1.53x faster measured STANDALONE but a
+# wash inside the full step, see _comb_fminor), or "pallas" (fused
+# VMEM-resident kernel, ops/pallas_comb.py — TPU only, blocked by Mosaic
+# lowering limits on this stack).  All bit-exact to each other; module
+# default used by extract_pitches.
 DEFAULT_COMB = "xla"
 
 
@@ -320,14 +424,17 @@ def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
     fn = partial(_extract_single, bin_width=bin_width, min_bin=min_bin,
                  max_bin=max_bin, min_freq=min_freq, max_freq=max_freq,
                  true_half=half)
-    if comb in ("pallas", "pallas_interpret"):
-        from .pallas_comb import comb_pallas
+    if comb in ("fminor", "pallas", "pallas_interpret"):
         kc = min(half - 1, max(max_bin, TOP_K))
         pm, frac_c, m_c, _, _ = jax.vmap(
             partial(_pre_comb, min_bin=min_bin, max_bin=max_bin, kc=kc)
         )(mags, noise_floor[:, :kc])
-        comb_outs = comb_pallas(pm, frac_c, m_c, half,
-                                interpret=comb == "pallas_interpret")
+        if comb == "fminor":
+            comb_outs = _comb_fminor(pm, frac_c, m_c, half, max_bin)
+        else:
+            from .pallas_comb import comb_pallas
+            comb_outs = comb_pallas(pm, frac_c, m_c, half,
+                                    interpret=comb == "pallas_interpret")
         return jax.vmap(lambda m, f, co: fn(m, f, comb_outs=co))(
             mags, noise_floor, comb_outs)
     return jax.vmap(fn)(mags, noise_floor)

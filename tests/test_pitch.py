@@ -312,3 +312,20 @@ def test_banded_stft_backend_is_output_exact(base):
     np.testing.assert_array_equal(
         np.asarray(states[base][0].floor)[:band - 1],
         np.asarray(states[base + "_band"][0].floor)[:band - 1])
+
+
+def test_comb_fminor_bit_exact_vs_xla():
+    """The batched frames-minor comb (the standalone-fastest alternate,
+    comb="fminor") must be bit-identical to the default per-frame vmapped
+    strided-slice comb on realistic spectra — same truncation bounds, same
+    chunked first-max argmax, same tail-miss mask (see
+    ops/pitch._comb_fminor for when each wins)."""
+    x = gen.mixed_scene(1.5, SR, seed=23)
+    from audio_analyzer_rs_tpu.ops.stft import stft_mags
+    mags = stft_mags(np.asarray(x), WINDOW, 512)
+    n = mags.shape[0]
+    floor = np.full((n, HALF), 1e-4, np.float32)
+    out_x = pitch.extract_pitches(mags, floor, BIN_W, comb="xla")
+    out_f = pitch.extract_pitches(mags, floor, BIN_W, comb="fminor")
+    for a, b in zip(out_x, out_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

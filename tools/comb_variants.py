@@ -52,6 +52,17 @@ bottleneck (consistent with chain/twopass: the cost is the strided
 *reads*, which bf16 does not reduce in count), so the precision loss
 buys nothing — rejected.
 
+Fourth run (--only fminor,fminor_chain, 2026-08-18; current re-measured
+199.1 the same run): fminor 130.4 ms (1.53x faster, bit-exact),
+fminor_chain 234.1 ms (slower — re-confirms the no-stack penalty).
+STANDALONE the frames-minor layout wins big, but inside the full
+production step it is a wash (nested-vmap step 13.73 ms xla vs 13.81 ms
+fminor at 128x64/dft_band) — the step's fusion already hides the slab's
+lane amplification — and restructuring the step to a flattened [S*N]
+batch to feed it regressed the other stages (jnp.fft 3x slower on the
+flat batch).  Kept as comb="fminor" in ops/pitch.py for standalone
+extraction workloads; DEFAULT_COMB stays "xla".
+
 All variants must produce bit-identical (score, longest_run, total_harms).
 
 Usage: python tools/comb_variants.py [--frames 16384] [--iters 10] [--cpu]
@@ -340,9 +351,107 @@ def main():
             total = spl(total[:kcn] + fe.astype(jnp.int32), total)
         return score, jnp.maximum(longest, current), total
 
+    # ── variants: fminor / fminor_chain (frames-minor batched layout) ─────
+    # Whole-batch formulation (not per-frame vmapped): one transpose of the
+    # peak array to [pad_bins, B], then every stride-n slice strides the
+    # MAJOR axis — each read chunk is a full 128-lane row (512 B, one DRAM
+    # burst), eliminating the lane-amplification that makes the frames-major
+    # slab ~n-fold oversized in real HBM traffic.  Mirrors _comb_xla
+    # bit-exactly (matchable-prefix bounds, tail-miss mask, chunked argmax
+    # or strict-greater chain).
+    def make_fminor(chunked: bool):
+        from audio_analyzer_rs_tpu.ops.pitch import _COMB_CHUNK
+        kcn_of2 = {n: min(kc, half // n + 2, max_bin // n + 3)
+                   for n in range(2, MAX_HARMONICS + 1)}
+        front = MAX_HARMONICS + 2
+        pad_len = front + max(max(kcn_of2[n] * n + n + 2
+                                  for n in range(2, MAX_HARMONICS + 1)),
+                              kc + 1)
+
+        def run(pm_b, frac_b, fund_b):          # [B, kc] each
+            Bn = pm_b.shape[0]
+            pmT = jnp.zeros((pad_len, Bn), jnp.float32
+                            ).at[front:front + kc, :].set(pm_b.T)
+            fracT = frac_b.T                     # [kc, B]
+            k_c = jnp.arange(kc, dtype=jnp.int32)
+            score = fund_b.T
+            last = jnp.broadcast_to(k_c[:, None], (kc, Bn))
+            longest = jnp.zeros((kc, Bn), jnp.int32)
+            current = jnp.zeros((kc, Bn), jnp.int32)
+            total = jnp.zeros((kc, Bn), jnp.int32)
+            for n in range(2, MAX_HARMONICS + 1):
+                kcn = kcn_of2[n]
+                ef = fracT[:kcn] * n
+                valid_n = ef < half
+                sb = jnp.floor(ef - 1.0).astype(jnp.int32)
+                ss = jnp.maximum(sb, last[:kcn] + 1)
+                se = jnp.minimum(jnp.ceil(ef + 1.0).astype(jnp.int32),
+                                 half - 1)
+                nk = (n * k_c[:kcn])[:, None]    # [kcn, 1]
+                cs_py = list(range(-n - 1, n + 2))
+                bm = jnp.zeros((kcn, Bn), jnp.float32)
+                if chunked:
+                    bc = jnp.zeros((kcn, Bn), jnp.int32)
+                    for lo in range(0, len(cs_py), _COMB_CHUNK):
+                        chunk = cs_py[lo:lo + _COMB_CHUNK]
+                        cs = jnp.asarray(chunk, jnp.int32)
+                        vals = jnp.stack([
+                            jax.lax.slice(pmT, (front + c, 0),
+                                          (front + c + kcn * n, Bn), (n, 1))
+                            for c in chunk], axis=0)      # [ch, kcn, B]
+                        pos = nk[None] + cs[:, None, None]
+                        in_band = (pos >= ss[None]) & (pos <= se[None])
+                        masked = jnp.where(in_band, vals, 0.0)
+                        cmax = jnp.max(masked, axis=0)
+                        carg = jnp.argmax(masked, axis=0).astype(jnp.int32)
+                        better = cmax > bm
+                        bm = jnp.where(better, cmax, bm)
+                        bc = jnp.where(better, carg + lo, bc)
+                    bh = nk + bc - n - 1
+                else:
+                    bh = jnp.zeros((kcn, Bn), jnp.int32)
+                    for c in cs_py:
+                        vals = jax.lax.slice(pmT, (front + c, 0),
+                                             (front + c + kcn * n, Bn),
+                                             (n, 1))
+                        pos = nk + c
+                        v = jnp.where((pos >= ss) & (pos <= se), vals, 0.0)
+                        better = v > bm          # strict: first (lowest c)
+                        bm = jnp.where(better, v, bm)
+                        bh = jnp.where(better,
+                                       jnp.broadcast_to(pos, (kcn, Bn)), bh)
+                found = bm > 0.0
+                fe = found & valid_n
+                miss = (~found) & valid_n
+
+                def spl(new, old):
+                    return (jnp.concatenate([new, old[kcn:]], axis=0)
+                            if kcn < kc else new)
+                score = spl(score[:kcn] + jnp.where(fe, bm, 0.0), score)
+                last = spl(jnp.where(fe, bh, last[:kcn]), last)
+                longest = spl(jnp.where(miss,
+                                        jnp.maximum(longest[:kcn],
+                                                    current[:kcn]),
+                                        longest[:kcn]), longest)
+                current = spl(jnp.where(fe, current[:kcn] + 1,
+                                        jnp.where(miss, 0, current[:kcn])),
+                              current)
+                total = spl(total[:kcn] + fe.astype(jnp.int32), total)
+                if kcn < kc:
+                    tail_miss = (k_c[:, None] >= kcn) & (fracT * n < half)
+                    longest = jnp.where(tail_miss,
+                                        jnp.maximum(longest, current),
+                                        longest)
+                    current = jnp.where(tail_miss, 0, current)
+            longest = jnp.maximum(longest, current)
+            return score.T, longest.T, total.T
+        return run
+
     variants = {
         "current": lambda: jax.vmap(
             lambda p, f, m: _comb_xla(p, f, m, half))(pm, frac_c, m_c),
+        "fminor": lambda: make_fminor(True)(pm, frac_c, m_c),
+        "fminor_chain": lambda: make_fminor(False)(pm, frac_c, m_c),
         "bf16": lambda: jax.vmap(comb_bf16)(pm, frac_c, m_c),
         "patches": lambda: jax.vmap(comb_patches)(pm, frac_c, m_c),
         "transpose": lambda: jax.vmap(comb_transpose)(pm, frac_c, m_c),
