@@ -15,12 +15,12 @@ and to within the GEMM's ~1e-6-relative batch-tiling rounding with the
 banded-rDFT default (ops.stft.PITCH_BACKEND — XLA may tile the dot
 differently for different chunk geometries, shifting per-row rounding).
 
-Measured on TPU v5e (dft_band backend, matchable-prefix comb):
-128 segments x 64-frame chunks ≈ 32x single-stream raw throughput
-(~655k frames/s ≈ 7600x realtime at window 2048 / hop 512 / 44.1 kHz;
-~517k net of warmup on a 1 h file), with >99.99% frame agreement vs the
-sequential run measured over a 1 h mixed scene (see `auto_segments` for
-the scaling map).
+Measured on TPU v5e (dft_band backend, matchable-prefix comb, gather-free
+top-K pickup, Pallas batched tracker): 128 segments x 64-frame chunks
+≈ 41x single-stream raw throughput (~828k frames/s ≈ 9600x realtime at
+window 2048 / hop 512 / 44.1 kHz; ~654k net of warmup on a 1 h file),
+with >99.99% frame agreement vs the sequential run measured over a 1 h
+mixed scene (see `auto_segments` for the scaling map).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ from ..ops import noisefloor, onset as onset_ops, tracker
 from ..ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW,
                         PITCH_BACKEND, PITCH_HOP, PITCH_WINDOW)
 from ..utils.framing import frame_signal, num_frames
-from .analyzer import onset_analyze_frames, pitch_analyze_frames
+from .analyzer import onset_analyze_frames, pitch_extract_frames
 
 DEFAULT_WARMUP_FRAMES = 256
 
@@ -71,15 +71,20 @@ def _chunks_to_f32(audio_chunks):
 def _vmapped_step(nf_states, tr_states, audio_chunks, global_floor, onsets,
                   sample_rate: float, window: int, hop: int,
                   backend: str = PITCH_BACKEND):
+    # Frame-parallel stages per segment under vmap; the tracker scan runs
+    # batched OUTSIDE the vmap (fused Pallas kernel on TPU, vmapped XLA
+    # scan elsewhere) — outputs bitwise-identical to the nested form,
+    # measured ~5% faster at 128x64 (ops/pallas_tracker.py).
     audio_chunks = _chunks_to_f32(audio_chunks)
-    def one(nf, tr, audio, gf, on):
+    def one(nf, audio, gf):
         frames = frame_signal(audio, window, hop)
-        nf, tr, out = pitch_analyze_frames(nf, tr, frames, gf, on,
-                                           sample_rate, window, hop, backend)
-        return nf, tr, LeanPitchOut(out.stable_freqs, out.stable_scores,
-                                    out.stable_valid)
-    return jax.vmap(one)(nf_states, tr_states, audio_chunks, global_floor,
-                         onsets)
+        nf, pf, _, _ = pitch_extract_frames(nf, frames, gf, sample_rate,
+                                            window, hop, backend)
+        return nf, pf
+    nf_states, pf = jax.vmap(one)(nf_states, audio_chunks, global_floor)
+    tr_states, (sf, ss, sv) = tracker.tracker_scan_batched(
+        tr_states, pf.freqs, pf.scores, pf.valid, onsets)
+    return nf_states, tr_states, LeanPitchOut(sf, ss, sv)
 
 
 @partial(jax.jit, static_argnames=("stream_samples",))
@@ -106,13 +111,15 @@ def _vmapped_step_resident(nf_states, tr_states, seg_streams, offset,
     chunks = jax.lax.dynamic_slice(
         seg_streams, (0, offset), (seg_streams.shape[0], chunk_samples))
 
-    def one(nf, tr, audio, gf, on):
+    def one(nf, audio, gf):
         frames = frame_signal(audio, window, hop)
-        nf, tr, out = pitch_analyze_frames(nf, tr, frames, gf, on,
-                                           sample_rate, window, hop, backend)
-        return nf, tr, LeanPitchOut(out.stable_freqs, out.stable_scores,
-                                    out.stable_valid)
-    return jax.vmap(one)(nf_states, tr_states, chunks, global_floor, onsets)
+        nf, pf, _, _ = pitch_extract_frames(nf, frames, gf, sample_rate,
+                                            window, hop, backend)
+        return nf, pf
+    nf_states, pf = jax.vmap(one)(nf_states, chunks, global_floor)
+    tr_states, (sf, ss, sv) = tracker.tracker_scan_batched(
+        tr_states, pf.freqs, pf.scores, pf.valid, onsets)
+    return nf_states, tr_states, LeanPitchOut(sf, ss, sv)
 
 
 def _as_host_audio(audio: np.ndarray) -> np.ndarray:

@@ -356,7 +356,16 @@ def _extract_single(mags: jax.Array, noise_floor: jax.Array,
     # Top-K by score (desc, ties → lower bin) — stands in for the sort.
     top_vals, top_idx = jax.lax.top_k(jnp.where(cand_mask, scores, -jnp.inf), TOP_K)
     cvalid = top_vals > -jnp.inf
-    cfrac = frac_c[top_idx]
+    # Gather-free payload pickup: frac_c[top_idx] as a masked one-hot
+    # reduction.  A [K]-wide `take_along_axis` lane gather measured 2.71 ms
+    # of the 15 ms production step (18%! — tools/step_ablation.py "+gather"
+    # row, v5e 128x64); the broadcast-compare+select fuses into the sum's
+    # reduction loop (no [K, kc] materialization, no gather lowering) and
+    # selects the identical f32 value (one-hot ⇒ the sum has exactly one
+    # contributor; +0.0 elsewhere is exact).
+    iota_c = jnp.arange(frac_c.shape[0], dtype=jnp.int32)
+    cfrac = jnp.sum(jnp.where(top_idx[:, None] == iota_c[None, :],
+                              frac_c[None, :], 0.0), axis=-1)
     cfreq = cfrac * bin_width
 
     # ── harmonic-ghost suppression (stft.rs:564-589) ─────────────────────

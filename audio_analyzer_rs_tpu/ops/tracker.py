@@ -10,6 +10,7 @@ by sorting emissions by a per-track creation sequence number.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -136,28 +137,59 @@ def tracker_scan(state: TrackerState, raw_freqs, raw_scores, raw_valid,
     state, (freq, score, stable, seq) = jax.lax.scan(
         body, state, (raw_freqs, raw_scores, raw_valid, onsets),
         unroll=SCAN_UNROLL)
-    # Batched (parallel over frames) stable-by-seq top-8 selection, sort-free:
-    # rank[i] = #{j : (key_j, j) < (key_i, i)} via a [T, T] comparison count
-    # (stable keys are unique seqs < int_max, so stable ranks are exactly the
-    # argsort positions), then a one-hot scatter emits the first 8.  Measured
-    # 2.3x faster than argsort/top_k + gathers at the bench geometry (XLA
-    # sorts lower to bitonic networks; tools/tracker_bench.py).  Slots with
-    # valid=False are zeroed (the former argsort gather carried unspecified
-    # values there).
+    return state, select_stable(freq, score, stable, seq)
+
+
+def select_stable(freq, score, stable, seq):
+    """Batched (parallel over frames) stable-by-seq top-8 selection,
+    sort-free: rank[i] = #{j : (key_j, j) < (key_i, i)} via a [T, T]
+    comparison count (stable keys are unique seqs < int_max, so stable
+    ranks are exactly the argsort positions), then a one-hot scatter emits
+    the first 8.  Measured 2.3x faster than argsort/top_k + gathers at the
+    bench geometry (XLA sorts lower to bitonic networks;
+    tools/tracker_bench.py).  Slots with valid=False are zeroed (the
+    former argsort gather carried unspecified values there).
+
+    Inputs [..., T]; outputs [..., MAX_NOTES]."""
     int_max = jnp.iinfo(jnp.int32).max
-    keys = jnp.where(stable, seq, int_max)                   # [N, T]
+    keys = jnp.where(stable, seq, int_max)                   # [..., T]
     iota = jnp.arange(MAX_TRACKS, dtype=jnp.int32)
     kj, ki = keys[..., None, :], keys[..., :, None]
     less = (kj < ki) | ((kj == ki) & (iota[None, :] < iota[:, None]))
-    rank = jnp.sum(less, axis=-1).astype(jnp.int32)          # [N, T]
+    rank = jnp.sum(less, axis=-1).astype(jnp.int32)          # [..., T]
     sel = stable & (rank < MAX_NOTES)
     onehot = (jnp.where(sel, rank, MAX_NOTES)[..., None]
-              == jnp.arange(MAX_NOTES, dtype=jnp.int32))     # [N, T, 8]
+              == jnp.arange(MAX_NOTES, dtype=jnp.int32))     # [..., T, 8]
     ohf = onehot.astype(jnp.float32)
-    out_freq = jnp.einsum("nt,nts->ns", freq, ohf)
-    out_score = jnp.einsum("nt,nts->ns", score, ohf)
+    out_freq = jnp.einsum("...t,...ts->...s", freq, ohf)
+    out_score = jnp.einsum("...t,...ts->...s", score, ohf)
     out_valid = jnp.any(onehot, axis=-2)
-    return state, (out_freq, out_score, out_valid)
+    return out_freq, out_score, out_valid
+
+
+@partial(jax.jit, static_argnames=("impl",))
+def tracker_scan_batched(state: TrackerState, raw_freqs, raw_scores,
+                         raw_valid, onsets, impl: str | None = None):
+    """Segment-batched tracker scan: state leaves carry a leading [S] axis;
+    raw_* [S, N, 8], onsets [S, N] → (state, (freqs, scores, valid)
+    [S, N, 8]).
+
+    impl: "pallas" (one fused kernel per 128-stream block with the whole
+    frame scan VMEM-resident — ops/pallas_tracker.py; TPU only),
+    "pallas_interpret" (CPU correctness twin), "xla" (vmap of
+    `tracker_scan`), or None → auto: pallas on TPU-like backends, else
+    xla.  All bit-exact to each other (tests/test_pallas_tracker.py)."""
+    if impl is None:
+        impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
+                else "xla")
+    if impl == "xla":
+        return jax.vmap(tracker_scan)(state, raw_freqs, raw_scores,
+                                      raw_valid, onsets)
+    from .pallas_tracker import tracker_scan_pallas
+    state, (freq, score, stable, seq) = tracker_scan_pallas(
+        state, raw_freqs, raw_scores, raw_valid, onsets,
+        interpret=impl == "pallas_interpret")
+    return state, select_stable(freq, score, stable, seq)
 
 
 # ── NumPy oracle: transcription of the Rust PitchTracker ─────────────────
