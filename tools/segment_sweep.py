@@ -35,12 +35,12 @@ def main():
     from audio_analyzer_rs_tpu.models import generators as gen
     from audio_analyzer_rs_tpu.models.segmented import _vmapped_step
     from audio_analyzer_rs_tpu.ops import noisefloor, tracker
-    from audio_analyzer_rs_tpu.ops.stft import DEFAULT_BACKEND
+    from audio_analyzer_rs_tpu.ops.stft import PITCH_BACKEND
 
     sr = 44100.0
     window, hop = 2048, 512
     half = window // 2 + 1
-    backend = args.backend or DEFAULT_BACKEND
+    backend = args.backend or PITCH_BACKEND
     results = {"backend": backend}
 
     for cfgs in args.configs.split(","):
