@@ -25,12 +25,15 @@ MAX_HARMONICS = 14
 MAX_NOTES = 8
 TOP_K = 32  # static candidate cap; the reference's Vec is unbounded but
             # >32 peaks above half-max-score does not occur in practice.
-# Offsets per stacked slab in the harmonic comb.  31 covers the widest
-# harmonic's window (n=14 → 2n+3=31) in one slab — the fastest form on one
-# chip (measured ~7% whole-pipeline win over 8-wide slabs).  Lowering it
-# shrinks the [batch, frames, slab, half] transient under segment vmap
-# (HBM headroom for wider segment batches) at that throughput cost.
-_COMB_CHUNK = 31
+# Offsets per stacked slab in the harmonic comb.  Re-tuned each time the
+# surrounding step changes: pre-truncation, 31 (the widest harmonic's full
+# 2n+3 window in one slab) beat 8 by ~7%; post items 9-13 the tradeoff
+# reversed — 8 measures +3.5% over 31 at the bench geometry (10.20 vs
+# 10.56 ms, /tmp knob sweep 2026-08-19; 16 within noise of 8) AND shrinks
+# the [batch, frames, chunk, kc] transient ~4x (HBM headroom).  The
+# cross-chunk strict-greater select chain keeps first-max semantics at any
+# chunk size (bit-exact; oracle fuzz tests pin it).
+_COMB_CHUNK = 8
 
 MIN_FREQ = 24.0      # ref stft.rs:173
 MAX_FREQ = 10_000.0  # ref stft.rs:174
