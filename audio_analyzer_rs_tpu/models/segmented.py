@@ -40,6 +40,29 @@ from .analyzer import onset_analyze_frames, pitch_extract_frames
 
 DEFAULT_WARMUP_FRAMES = 256
 
+# transfer="auto" crossover: the pipelined pitch path wins once the
+# recording is long enough that the resident path's single monolithic
+# device_put stalls the pipeline — measured ~tied at 10 min (1.47 s
+# resident vs 1.60 s pipelined) and 2.5x in pipelined's favor at 30 min
+# (14.70 s vs 5.84 s) through this environment's ~15-40 MB/s tunneled
+# link (tools/e2e_upload_bench.py, docs/PERFORMANCE.md transfer-mode
+# table).  Onset compute is too cheap (~9M frames/s device-side) to hide
+# uploads behind, so for onsets pipelined mode only pays its ~27%
+# chunk-rounding duplicate bytes — auto always resolves to resident there.
+AUTO_PIPELINED_MIN_SECONDS = 900.0
+
+
+def _resolve_transfer(transfer: str, kind: str, n_samples: int,
+                      sample_rate: float, device_audio) -> str:
+    """Resolve transfer="auto" to "resident" or "pipelined" (see
+    AUTO_PIPELINED_MIN_SECONDS).  `kind` is "pitch" or "onset"."""
+    if transfer != "auto":
+        return transfer
+    if device_audio is not None or kind == "onset":
+        return "resident"
+    long_enough = n_samples >= AUTO_PIPELINED_MIN_SECONDS * sample_rate
+    return "pipelined" if long_enough else "resident"
+
 
 class LeanPitchOut(NamedTuple):
     """Per-step outputs the segmented path actually consumes.
@@ -224,7 +247,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              backend: str = PITCH_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None, device_audio=None,
-                             transfer: str = "resident"):
+                             transfer: str = "auto"):
     """Analyze one long mono buffer with S parallel segments.
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
@@ -244,9 +267,13 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     `device_audio`); "pipelined" double-buffers per-step host→device blocks
     so transfers overlap compute and the first math starts after one block
     (best for a single analysis over a slow link — see _pipelined_blocks).
-    Results are identical.
+    "auto" (default) picks by the measured crossover: pipelined for a
+    standalone analysis of >= AUTO_PIPELINED_MIN_SECONDS of audio,
+    resident otherwise.  Results are identical.
     """
     audio = _as_host_audio(audio)
+    transfer = _resolve_transfer(transfer, "pitch", len(audio), sample_rate,
+                                 device_audio)
     n_total = num_frames(len(audio), window, hop)
     if n_total <= 0:
         z = np.zeros((0, 8), np.float32)
@@ -386,7 +413,7 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
                              backend: str = DEFAULT_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None, device_audio=None,
-                             transfer: str = "resident"):
+                             transfer: str = "auto"):
     """Segment-parallel offline onset detection over one long mono buffer.
 
     Same warmup-overlap scheme as `segmented_pitch_analysis`; segment 0 is
@@ -395,9 +422,12 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     for all N = num_frames(len(audio)) onset frames, in order.
     With `mesh`, segments shard across the device fleet; `transfer` as in
     segmented_pitch_analysis ("pipelined" overlaps per-step uploads with
-    compute).
+    compute; "auto" — the default — resolves to "resident" for onsets,
+    whose device compute is too cheap to hide uploads behind).
     """
     audio = _as_host_audio(audio)
+    transfer = _resolve_transfer(transfer, "onset", len(audio), sample_rate,
+                                 device_audio)
     n_total = num_frames(len(audio), window, hop)
     if n_total <= 0:
         z = np.zeros(0, np.float32)

@@ -217,3 +217,27 @@ def test_pipelined_transfer_matches_resident_on_mesh():
                                    transfer="pipelined")
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resolve_transfer_auto_policy():
+    """transfer="auto" follows the measured e2e crossover: pipelined only
+    for a standalone pitch analysis of >= AUTO_PIPELINED_MIN_SECONDS;
+    resident for onsets, shared uploads, and short audio (see
+    docs/PERFORMANCE.md transfer-mode table)."""
+    from audio_analyzer_rs_tpu.models.segmented import (
+        AUTO_PIPELINED_MIN_SECONDS, _resolve_transfer)
+
+    long_n = int(AUTO_PIPELINED_MIN_SECONDS * SR) + 1
+    short_n = int(AUTO_PIPELINED_MIN_SECONDS * SR) - 1
+    assert _resolve_transfer("auto", "pitch", long_n, SR, None) == "pipelined"
+    assert _resolve_transfer("auto", "pitch", short_n, SR, None) == "resident"
+    # Shared device upload: the bytes are already on device; never pipeline.
+    assert _resolve_transfer("auto", "pitch", long_n, SR,
+                             object()) == "resident"
+    # Onset compute can't hide uploads; pipelined only costs rounding bytes.
+    assert _resolve_transfer("auto", "onset", long_n, SR, None) == "resident"
+    # Explicit modes pass through untouched.
+    assert _resolve_transfer("resident", "pitch", long_n, SR,
+                             None) == "resident"
+    assert _resolve_transfer("pipelined", "onset", short_n, SR,
+                             None) == "pipelined"
