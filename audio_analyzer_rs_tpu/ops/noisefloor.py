@@ -138,8 +138,28 @@ def global_floor_linear(noise_floor_db, half_size: int):
 
 # ── NumPy oracle (direct transcription of the Rust loop) ─────────────────
 
-def noise_floor_np(mags: np.ndarray, global_floor: np.ndarray) -> np.ndarray:
-    """[N, H] magnitudes → [N, H] effective floors, float32 loop transcription."""
+def _fma32(a, b, c):
+    """float32 fused multiply-add emulation: the exact product a*b is
+    representable in float64 (f32 has 24 mantissa bits), so computing
+    a*b + c in float64 and rounding once to float32 reproduces a hardware
+    f32 FMA except in astronomically rare double-rounding ties."""
+    return (np.float64(a) * np.float64(b) + np.float64(c)).astype(np.float32)
+
+
+def noise_floor_np(mags: np.ndarray, global_floor: np.ndarray,
+                   fma: bool = False) -> np.ndarray:
+    """[N, H] magnitudes → [N, H] effective floors, float32 loop transcription.
+
+    `fma=False` is the plain transcription (every multiply and add rounds
+    separately, like the reference's Rust f32 expressions without
+    contraction).  `fma=True` contracts the alpha blend and the floor
+    update into fused multiply-adds — the rounding XLA:CPU's LLVM backend
+    actually emits for `_step`.  With fma=True the output is bitwise equal
+    to `noise_floor_scan` at the production banded configuration on the
+    CPU backend (verified over a 25 s mixed scene,
+    tests/test_divergence_proof.py); the two variants differ only at
+    1-ulp scale, which is precisely the fp32 sensitivity the composed
+    divergence tests quantify."""
     n, h = mags.shape
     floor = np.zeros(h, dtype=np.float32)
     prev = np.zeros(h, dtype=np.float32)
@@ -160,10 +180,19 @@ def noise_floor_np(mags: np.ndarray, global_floor: np.ndarray) -> np.ndarray:
             above = m / np.maximum(floor, np.float32(0.01))
             vn = np.clip(vol / np.maximum(m, np.float32(0.05)), 0.0, 1.0)
             sustained = (above > NOTE_RATIO) & (vn < NOTE_VOL_MAX)
-            alpha = np.where(m > floor,
-                             np.float32(FLOOR_BASE_ALPHA)
-                             + np.float32(FLOOR_FAST_ALPHA - FLOOR_BASE_ALPHA) * vn,
-                             np.float32(FLOOR_RELEASE))
-            floor = np.where(sustained, floor, floor + alpha * (m - floor))
+            fast_minus_base = np.float32(FLOOR_FAST_ALPHA - FLOOR_BASE_ALPHA)
+            if fma:
+                alpha_hot = _fma32(fast_minus_base, vn,
+                                   np.float32(FLOOR_BASE_ALPHA))
+                updated = _fma32(np.where(m > floor, alpha_hot,
+                                          np.float32(FLOOR_RELEASE)),
+                                 m - floor, floor)
+            else:
+                alpha_hot = (np.float32(FLOOR_BASE_ALPHA)
+                             + fast_minus_base * vn)
+                alpha = np.where(m > floor, alpha_hot,
+                                 np.float32(FLOOR_RELEASE))
+                updated = floor + alpha * (m - floor)
+            floor = np.where(sustained, floor, updated).astype(np.float32)
         out[i] = np.minimum(floor, g * np.float32(2.5))
     return out

@@ -12,11 +12,19 @@ a realistic scene along two axes:
    below any decision threshold).
 2. device chain vs the exact NumPy oracle chain (`full_chain_np`:
    sequential biquad + gate, sort-based AGC, float64 STFT, *_np pipelines)
-   — adds fp32-vs-fp64 sensitivity at the extractor's hard thresholds,
-   where a 1e-7 relative magnitude difference can flip a borderline peak
-   and the tracker's hysteresis stretches single-frame flips into short
-   runs.  Measured: 99.1% frame agreement on the same scene, identical for
-   both AGC modes (i.e. entirely precision-driven, not mode-driven).
+   — adds fp32 instruction-level rounding (FMA contraction in the floor
+   scan and the reducer's IIR recursion, f32-vs-f64 FFT) at the
+   extractor's hard thresholds, where a 1-ulp difference can flip a
+   borderline peak and the tracker's hysteresis stretches single-frame
+   flips into short runs.  Measured: 99.1% frame agreement on the same
+   scene, identical for both AGC modes (i.e. not mode-driven).
+
+The precision attribution is VERIFIED, not asserted, in
+tests/test_divergence_proof.py: the floor scan is bitwise equal to an
+FMA-contraction-faithful oracle, agreement is exactly 100.000% once the
+conditioned signal and magnitudes are equalized, and every composed-chain
+stable flip is tracker-anchored to a raw extraction flip under
+precision-bounded input differences.
 
 Longer-scene reproduction: tools/fullchain_divergence.py.
 """
