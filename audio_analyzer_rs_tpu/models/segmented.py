@@ -49,13 +49,27 @@ DEFAULT_WARMUP_FRAMES = 256
 # table).  Onset compute is too cheap (~9M frames/s device-side) to hide
 # uploads behind, so for onsets pipelined mode only pays its ~27%
 # chunk-rounding duplicate bytes — auto always resolves to resident there.
+#
+# The 900 s crossover encodes THIS environment's ~15-40 MB/s tunneled
+# host<->device link with int16 input; it is an override knob, not a law.
+# f32 input doubles the upload bytes and halves the crossover (~600 s per
+# the PERFORMANCE.md transfer-mode table: f32 pipelined already ties at
+# 10 min), and on a directly-attached host (~GB/s PCIe) resident wins at
+# any length.  Both modes are result-identical, so a wrong pick only
+# costs wall-clock; tune this constant (or pass transfer= explicitly)
+# when deploying off the tunneled link.
 AUTO_PIPELINED_MIN_SECONDS = 900.0
+
+_TRANSFER_MODES = ("auto", "resident", "pipelined")
 
 
 def _resolve_transfer(transfer: str, kind: str, n_samples: int,
                       sample_rate: float, device_audio) -> str:
     """Resolve transfer="auto" to "resident" or "pipelined" (see
     AUTO_PIPELINED_MIN_SECONDS).  `kind` is "pitch" or "onset"."""
+    if transfer not in _TRANSFER_MODES:
+        raise ValueError(
+            f"transfer={transfer!r}: expected one of {_TRANSFER_MODES}")
     if transfer != "auto":
         return transfer
     if device_audio is not None or kind == "onset":

@@ -418,6 +418,12 @@ def candidate_band(bin_width: float, half: int,
 # default used by extract_pitches.
 DEFAULT_COMB = "xla"
 
+# comb="pallas" (compiled Mosaic kernel) cannot compile on this stack (v5e +
+# jax 0.9 — see ops/pallas_comb.py STATUS); dispatching it raises
+# NotImplementedError so the string option can't bitrot silently.  Probe
+# tools (tools/comb_bench.py) flip this flag to re-test newer toolchains.
+PALLAS_COMB_UNBLOCKED = False
+
 
 @partial(jax.jit, static_argnames=("bin_width", "min_freq", "max_freq",
                                    "comb", "true_half"))
@@ -437,6 +443,15 @@ def extract_pitches(mags: jax.Array, noise_floor: jax.Array,
                  max_bin=max_bin, min_freq=min_freq, max_freq=max_freq,
                  true_half=half)
     if comb in ("fminor", "pallas", "pallas_interpret"):
+        if comb == "pallas" and not PALLAS_COMB_UNBLOCKED:
+            raise NotImplementedError(
+                'comb="pallas" (compiled) is blocked on v5e + jax 0.9: '
+                "Mosaic rejects the kernel's stride-n lane slices and "
+                "crashes on dynamic lane gathers / in-kernel reshapes "
+                "(ops/pallas_comb.py docstring, tools/mosaic_probe.py). "
+                'Use comb="pallas_interpret" for the correctness twin, or '
+                "set ops.pitch.PALLAS_COMB_UNBLOCKED = True to re-probe a "
+                "newer jax/Mosaic (tools/comb_bench.py does this).")
         kc = min(half - 1, max(max_bin, TOP_K))
         pm, frac_c, m_c, _, _ = jax.vmap(
             partial(_pre_comb, min_bin=min_bin, max_bin=max_bin, kc=kc)

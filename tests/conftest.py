@@ -12,16 +12,24 @@ import os
 # ignoring JAX_PLATFORMS.  Tests must force local CPU — both for speed (no
 # tunneled compiles) and for the 8-device virtual mesh — via jax.config,
 # which still wins as long as no computation has run yet.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# AAT_TEST_PLATFORM=tpu opts OUT of the CPU forcing for targeted runs of
+# the TPU-marked compiled-Pallas tests (e.g.
+# `AAT_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_stft.py -k
+# compiled`) — do not run the full suite this way: every compile is a slow
+# tunnel round-trip and the 8-device mesh tests need the virtual CPU mesh.
+_FORCE_CPU = os.environ.get("AAT_TEST_PLATFORM", "cpu") == "cpu"
+if _FORCE_CPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _FORCE_CPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the big scan/vmap pipelines take tens of
 # seconds to compile; cache across test runs (in-repo so it survives /tmp
 # cleanup).  Must be set through jax.config — the sitecustomize pre-import

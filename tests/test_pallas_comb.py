@@ -6,6 +6,7 @@ compiled path is exercised by tools/comb_bench.py.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -103,3 +104,18 @@ def test_pallas_comb_under_segment_vmap():
             m, f, BIN_W, comb="pallas_interpret"))(seg_m, nf)
     np.testing.assert_array_equal(np.asarray(ref.freqs), np.asarray(got.freqs))
     np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+
+def test_compiled_pallas_comb_is_gated():
+    """comb="pallas" (compiled) cannot lower on this stack (Mosaic rejects
+    the kernel — ops/pallas_comb.py STATUS); dispatch must raise a clear
+    NotImplementedError instead of shipping an untestable branch, unless
+    the probe flag is set (tools/comb_bench.py re-tests new toolchains)."""
+    import pytest
+    from audio_analyzer_rs_tpu.ops import pitch as pitch_ops
+
+    mags = jnp.ones((4, HALF), jnp.float32)
+    nf = jnp.full((4, HALF), 1e-3, jnp.float32)
+    assert not pitch_ops.PALLAS_COMB_UNBLOCKED
+    with pytest.raises(NotImplementedError, match="Mosaic"):
+        pitch_ops.extract_pitches(mags, nf, BIN_W, comb="pallas")

@@ -241,3 +241,9 @@ def test_resolve_transfer_auto_policy():
                              None) == "resident"
     assert _resolve_transfer("pipelined", "onset", short_n, SR,
                              None) == "pipelined"
+    # Typos / unknown modes raise instead of silently running resident
+    # (e.g. "Auto", "pipeline").
+    import pytest
+    for bad in ("Auto", "pipeline", "", "stream"):
+        with pytest.raises(ValueError, match="transfer="):
+            _resolve_transfer(bad, "pitch", long_n, SR, None)

@@ -78,6 +78,7 @@ def main():
                    lambda: pitch_ops.extract_pitches(mags, nf, bin_w,
                                                      comb="xla"))
     try:
+        pitch_ops.PALLAS_COMB_UNBLOCKED = True   # canary: re-probe the gate
         out_p = timeit("extract_pallas",
                        lambda: pitch_ops.extract_pitches(mags, nf, bin_w,
                                                          comb="pallas"))
