@@ -11,6 +11,9 @@ Usage:
   python -m audio_analyzer_rs_tpu.cli tuner <audio> [--debug-jsonl PATH]
   python -m audio_analyzer_rs_tpu.cli onset <audio> [--debug-jsonl PATH]
       # --debug-jsonl streams per-frame telemetry live (tail -f PATH)
+  python -m audio_analyzer_rs_tpu.cli debug-view <debug.jsonl> [--once 1]
+      # live terminal viewer for a --debug-jsonl stream (tail -f with
+      # rendering: pitch labels, floor, onset decisions; Ctrl-C to stop)
   python -m audio_analyzer_rs_tpu.cli analyze <audio> [out.jsonl]
       [--segments N|auto]  # bulk offline analysis -> JSONL per-frame features
   python -m audio_analyzer_rs_tpu.cli rec <in.wav> <out.wav>
@@ -133,6 +136,69 @@ def cmd_analyze(path: str, out_path: str | None = None,
             sink.close()
             print(f"wrote {len(arr.rms)} frames to {out_path}",
                   file=sys.stderr)
+
+
+def cmd_debug_view(path: str, follow: bool = True,
+                   out=None, poll_s: float = 0.2, stop=None) -> None:
+    """Live terminal viewer for the JSONL debug stream (the reference's
+    Rerun GUI analog, ref stft.rs:674-747, onset.rs:559-651).
+
+    Tails `path` (as written by `--debug-jsonl` / JsonlStreamRecorder),
+    scrolls an event line per fired onset / pitch-set change, and keeps a
+    live status line (latest pitch labels, floor, onset decision, counts).
+    `follow=False` renders the existing file once and exits (scriptable).
+    Run e.g.:  cli.py tuner take.wav --debug-jsonl d.jsonl   (one shell)
+               cli.py debug-view d.jsonl                     (another)
+    """
+    import time
+
+    from .devtools import DebugStreamView
+
+    out = out or sys.stdout
+    is_tty = getattr(out, "isatty", lambda: False)()
+    view = DebugStreamView()
+
+    def emit_status():
+        if is_tty:
+            out.write("\r\x1b[2K" + view.status_line())
+            out.flush()
+
+    try:
+        with open(path) as f:
+            while True:
+                pos = f.tell()
+                line = f.readline()
+                if not line:
+                    if not follow or (stop is not None and stop()):
+                        break
+                    emit_status()
+                    time.sleep(poll_s)
+                    continue
+                if follow and not line.endswith("\n"):
+                    # Partial line mid-write: rewind and wait for the rest.
+                    f.seek(pos)
+                    time.sleep(poll_s)
+                    continue
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue   # malformed line; skip
+                event = view.feed(rec)
+                if event:
+                    if is_tty:
+                        out.write("\r\x1b[2K")
+                    out.write(event + "\n")
+                emit_status()
+    except KeyboardInterrupt:
+        pass
+    if is_tty:
+        out.write("\n")
+    out.write(f"stream ended: {view.n_pitch} pitch frames, "
+              f"{view.n_onset} onset frames, {view.n_fired} onsets fired\n")
+    out.flush()
 
 
 def cmd_rec(in_path: str, out_path: str) -> None:
@@ -307,7 +373,7 @@ def repl() -> None:
     print("audio_analyzer_rs_tpu CLI — commands: tuner <wav> | onset <wav> | "
           "met <bpm> <s> <out> | play <in> <out> | synth <midi> <out> | "
           "rec <in> <out> | analyze <wav> [out] | practice <midi> [wav] | "
-          "quit")
+          "debug-view <jsonl> | quit")
     while True:
         try:
             line = input("> ").strip()
@@ -350,6 +416,8 @@ def _dispatch(cmd, pos, kwargs) -> None:
         cmd_tuner(pos[0], debug_jsonl=kwargs.get("debug-jsonl"))
     elif cmd == "onset":
         cmd_onset(pos[0], debug_jsonl=kwargs.get("debug-jsonl"))
+    elif cmd == "debug-view":
+        cmd_debug_view(pos[0], follow=not kwargs.get("once"))
     elif cmd == "analyze":
         seg = kwargs.get("segments", "1")
         cmd_analyze(pos[0], pos[1] if len(pos) > 1 else None,

@@ -150,6 +150,61 @@ class JsonlStreamRecorder(DebugRecorder):
             self._file.close()
 
 
+class DebugStreamView:
+    """Terminal renderer for the JSONL debug stream — the live-viewer half
+    of the Rerun analog (ref stft.rs:674-747 streams spectrum/pitches into
+    the Rerun GUI; onset.rs:559-651 streams decision labels).
+
+    Feed it parsed JSONL records (`JsonlStreamRecorder` output); it keeps a
+    rolling status (latest pitch labels, median floor when the stream
+    carries spectra, last onset decision) and returns an *event line* for
+    moments worth scrolling (fired onsets, pitch-set changes) — the
+    surrounding loop decides how to print.  Pure logic, no I/O: the CLI
+    (`cli.py debug-view`) owns the terminal."""
+
+    def __init__(self):
+        self.pitch_labels: list = []
+        self.floor_db: float | None = None
+        self.onset_status = "idle"
+        self.n_pitch = self.n_onset = self.n_fired = 0
+        self.last_frame = 0
+
+    def feed(self, rec: dict) -> str | None:
+        kind = rec.get("kind")
+        if kind == "pitch":
+            self.n_pitch += 1
+            self.last_frame = rec.get("frame", self.last_frame)
+            labels = [p.get("label", f"{p.get('freq', 0.0):.1f}Hz")
+                      for p in rec.get("stable_pitches", [])]
+            if "noise_floor" in rec:
+                nf = np.asarray(rec["noise_floor"], np.float64)
+                med = float(np.median(nf[nf > 0])) if (nf > 0).any() else 0.0
+                self.floor_db = (20.0 * np.log10(med) if med > 0 else None)
+            changed = labels != self.pitch_labels
+            self.pitch_labels = labels
+            if changed and labels:
+                return (f"[pitch  f{rec.get('frame', 0):>6}] "
+                        + "  ".join(labels))
+            return None
+        if kind == "onset":
+            self.n_onset += 1
+            self.onset_status = rec.get("status", "idle")
+            if rec.get("fired"):
+                self.n_fired += 1
+                return (f"[ONSET  f{rec.get('frame', 0):>6}] "
+                        f"{self.onset_status}")
+            return None
+        return None
+
+    def status_line(self) -> str:
+        pitches = "  ".join(self.pitch_labels) if self.pitch_labels else "—"
+        floor = (f"{self.floor_db:+.1f} dB" if self.floor_db is not None
+                 else "n/a")
+        return (f"f{self.last_frame:>6} | pitches: {pitches:<24} | "
+                f"floor: {floor} | onsets: {self.n_fired:>3} | "
+                f"{self.onset_status}")
+
+
 def export_frame_png(path: str, raw: np.ndarray, windowed: np.ndarray,
                      magnitudes: np.ndarray, bin_width: float,
                      noise_floor: np.ndarray,
