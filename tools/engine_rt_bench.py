@@ -1,0 +1,199 @@
+"""Measure the realtime streaming path (the live AudioEngine) on device.
+
+The bulk/segmented numbers prove throughput; this tool answers the other
+VERDICT question: could the *streaming* engine path — virtual duplex device
+→ reducer+AGC → per-slot jitted pitch/onset steps (api/engine.py, the
+rebuild of the reference's realtime callbacks, ref src/audio_io/mod.rs:
+657-938) — replace the reference's live engine on a TPU host?
+
+Three measurements, separated because this environment's chip hangs off a
+tunneled RPC link (~ms round trips) while a production deployment would be
+directly attached (~50 us):
+
+1. per-slot END-TO-END wall time of `engine.advance(one slot)` with live
+   tuner + onset flows (includes host logic, every host<->device round
+   trip, and device compute);
+2. the tunnel's RPC round-trip time (tiny cached no-op + readback) — the
+   per-call cost that vanishes on a directly-attached host;
+3. pure DEVICE step time for the steady-state shapes the engine issues
+   every slot (pitch: 2 frames/slot at hop 512; onset: 16 frames/slot at
+   hop 64), measured by queueing many calls with one final readback — the
+   irreducible device compute per slot.
+
+The implied realtime margins:  xrt_e2e = slot_duration / (1) on THIS
+setup;  xrt_device = slot_duration / (3) = the bound a directly-attached
+host approaches as (2) -> 0.
+
+Usage: python tools/engine_rt_bench.py [--seconds 20] [--sr 48000] [--cpu]
+Prints one JSON line on stdout; diagnostics on stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pct(xs, q):
+    xs = sorted(xs)
+    return xs[min(int(q * len(xs)), len(xs) - 1)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=20.0,
+                    help="measured streaming span (after warmup)")
+    ap.add_argument("--sr", type=float, default=48000.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke mode)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_analyzer_rs_tpu.api.device import ArraySource
+    from audio_analyzer_rs_tpu.api.engine import AudioEngine
+    from audio_analyzer_rs_tpu.models import generators as gen
+
+    log(f"device: {jax.devices()[0]}")
+    sr = args.sr
+    slot = 1024
+    slot_ms = slot / sr * 1000.0
+
+    warm_s = 4.0
+    total_s = warm_s + args.seconds + 1.0
+    scene = gen.mixed_scene(total_s, sr, seed=7)
+    engine = AudioEngine(input_source=ArraySource(scene), sample_rate=sr)
+    tuner = engine.start_tuner()
+    onset = engine.start_onset_detection()
+
+    # ── 1. per-slot e2e wall time of the live engine ─────────────────────
+    t0 = time.perf_counter()
+    engine.advance(warm_s)              # compiles the per-slot programs
+    log(f"warmup {warm_s:.0f}s of stream: {time.perf_counter()-t0:.1f}s "
+        f"(compile-inclusive)")
+
+    n_slots = int(args.seconds * sr) // slot
+    per_slot = []
+    slot_s = slot / sr
+    onsets_seen = 0
+    labels = set()
+    t_all0 = time.perf_counter()
+    for _ in range(n_slots):
+        t0 = time.perf_counter()
+        engine.advance(slot_s)
+        per_slot.append((time.perf_counter() - t0) * 1000.0)
+        # Poll like the RN frontend would (host-side, not timed).
+        onsets_seen += len(json.loads(onset.poll_onsets()))
+        lbl = json.loads(tuner.poll_output()).get("label", "")
+        if lbl:
+            labels.add(lbl)
+    wall_all = time.perf_counter() - t_all0
+    med = pct(per_slot, 0.50)
+    log(f"e2e: {n_slots} slots in {wall_all:.2f}s -> median "
+        f"{med:.2f} ms/slot (p90 {pct(per_slot, 0.90):.2f}, "
+        f"p99 {pct(per_slot, 0.99):.2f}; realtime budget {slot_ms:.2f} ms)")
+    # The flows must actually have produced output.
+    log(f"tuner labels seen: {sorted(labels)[:8]}; onsets drained: "
+        f"{onsets_seen}")
+
+    # ── 2. tunnel RPC round-trip (dispatch + tiny readback) ──────────────
+    one = jnp.zeros((8,), jnp.float32)
+    tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(tiny(one))               # compile
+    rtts = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        np.asarray(tiny(one))
+        rtts.append((time.perf_counter() - t0) * 1000.0)
+    rtt = pct(rtts, 0.50)
+    log(f"RPC round-trip: median {rtt:.2f} ms")
+
+    # ── 3. pure device compute for the steady per-slot shapes ────────────
+    from audio_analyzer_rs_tpu.models.analyzer import (onset_analyze_frames,
+                                                       pitch_analyze_frames)
+    from audio_analyzer_rs_tpu.ops import noisefloor, onset as onset_ops
+    from audio_analyzer_rs_tpu.ops import tracker
+    from audio_analyzer_rs_tpu.ops.stft import (ONSET_HOP, ONSET_WINDOW,
+                                                PITCH_HOP, PITCH_WINDOW)
+    from audio_analyzer_rs_tpu.utils.framing import frame_signal
+
+    def device_step_ms(step, iters=200):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = step()
+        jax.tree.map(np.asarray, out)   # one readback for the whole queue
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    # Pitch: 2 frames per 1024-sample slot (hop 512).
+    nf = noisefloor.init_state(PITCH_WINDOW // 2 + 1)
+    tr = tracker.init_state()
+    pf = frame_signal(jnp.asarray(scene[:PITCH_WINDOW + PITCH_HOP]),
+                      PITCH_WINDOW, PITCH_HOP)
+    gf2 = jnp.full((2,), 1e-3, jnp.float32)
+    on2 = jnp.zeros((2,), bool)
+    state = {}
+
+    def pitch_step(nf=nf, tr=tr):
+        s = state.setdefault("p", (nf, tr))
+        nf2, tr2, out = pitch_analyze_frames(s[0], s[1], pf, gf2, on2, sr)
+        state["p"] = (nf2, tr2)
+        return out
+    pitch_step(); state.pop("p")        # compile
+    pitch_ms = device_step_ms(pitch_step)
+
+    # Onset: 16 frames per slot (hop 64).
+    ost = onset_ops.init_state(ONSET_WINDOW // 2 + 1)
+    of = frame_signal(jnp.asarray(scene[:ONSET_WINDOW + 15 * ONSET_HOP]),
+                      ONSET_WINDOW, ONSET_HOP)
+    gf16 = jnp.full((16,), 1e-3, jnp.float32)
+    z16 = jnp.zeros((16,), bool)
+
+    def onset_step():
+        s = state.setdefault("o", ost)
+        s2, out = onset_analyze_frames(s, of, gf16, z16, z16, ONSET_WINDOW)
+        state["o"] = s2
+        return out
+    onset_step(); state.pop("o")        # compile
+    onset_ms = device_step_ms(onset_step)
+
+    device_ms = pitch_ms + onset_ms
+    log(f"device steps: pitch {pitch_ms:.3f} ms + onset {onset_ms:.3f} ms "
+        f"= {device_ms:.3f} ms/slot")
+
+    print(json.dumps({
+        "slot_ms": round(slot_ms, 3),
+        "e2e_ms_per_slot": {"median": round(med, 3),
+                            "p90": round(pct(per_slot, 0.90), 3),
+                            "p99": round(pct(per_slot, 0.99), 3)},
+        "xrt_e2e": round(slot_ms / med, 2),
+        "rpc_rtt_ms": round(rtt, 3),
+        "device_ms_per_slot": {"pitch": round(pitch_ms, 3),
+                               "onset": round(onset_ms, 3),
+                               "total": round(device_ms, 3)},
+        "xrt_device": round(slot_ms / device_ms, 1),
+        "backend": str(jax.devices()[0]),
+        "n_slots": n_slots,
+    }))
+
+
+if __name__ == "__main__":
+    main()
