@@ -7,8 +7,14 @@ where every segment except the first warms its carried state on
 `warmup_frames` of look-back audio whose outputs are discarded.  The floor
 IIRs converge with time constants of ~25-50 frames (alphas 0.04/0.35/0.02,
 ref stft.rs:219-225) and the tracker within 3 frames (max life), so a
-256-frame (~3 s) warmup makes segment outputs match the exact sequential run
-except for rare borderline peaks sitting right at the floor threshold.
+128-frame (~1.5 s) warmup makes segment outputs match the exact sequential
+run except for rare borderline peaks sitting right at the floor threshold.
+The default was swept on the 1 h mixed scene (tools/warmup_sweep.py):
+128 is the smallest value with 100.0000% frame agreement vs the exact
+sequential run (64 and 96 each flip one frame in 310k — a floor-threshold-
+proximal peak, consistent with the ~50-frame slowest IIR still settling);
+256 buys nothing further while doubling the discarded-warmup overhead
+(128 segments x 256 frames = 10.6% of a 1 h file vs 5.3% at 128).
 Segment 0 starts from the fresh state — its outputs match the sequential
 run: bit-identically with the "fft" backend (per-row-deterministic FFT),
 and to within the GEMM's ~1e-6-relative batch-tiling rounding with the
@@ -17,10 +23,14 @@ differently for different chunk geometries, shifting per-row rounding).
 
 Measured on TPU v5e (dft_band backend, matchable-prefix comb, gather-free
 top-K pickup, Pallas batched tracker): 128 segments x 64-frame chunks
-≈ 41x single-stream raw throughput (~828k frames/s ≈ 9600x realtime at
-window 2048 / hop 512 / 44.1 kHz; ~654k net of warmup on a 1 h file),
-with >99.99% frame agreement vs the sequential run measured over a 1 h
-mixed scene (see `auto_segments` for the scaling map).
+≈ 41x single-stream raw throughput (~869k frames/s ≈ 10,000x realtime at
+window 2048 / hop 512 / 44.1 kHz; ~825k net of the 5.3% discarded warmup),
+with 100.0000% frame agreement vs the sequential run measured over a 1 h
+mixed scene (see `auto_segments` for the scaling map).  On an actual
+device-resident 1 h run the wall is dominated by the ~22 MB stable-pitch
+result download through this environment's tunneled link (~1.7 s total,
+so warmup length barely moves it); the warmup win shows up wherever
+results stay on device or the link is PCIe-class.
 """
 
 from __future__ import annotations
@@ -38,7 +48,7 @@ from ..ops.stft import (DEFAULT_BACKEND, ONSET_HOP, ONSET_WINDOW,
 from ..utils.framing import frame_signal, num_frames
 from .analyzer import onset_analyze_frames, pitch_extract_frames
 
-DEFAULT_WARMUP_FRAMES = 256
+DEFAULT_WARMUP_FRAMES = 128
 
 # transfer="auto" crossover: the pipelined pitch path wins once the
 # recording is long enough that the resident path's single monolithic
@@ -91,9 +101,11 @@ class LeanPitchOut(NamedTuple):
     stable_valid: jax.Array   # [S, chunk, 8]
 # Onset state converges much faster than the pitch floor (flux/energy EMAs
 # with per-frame alphas 0.84-0.89, TC < 10 frames; rise-once burst floors),
-# but frames are also much shorter (hop 64 ≈ 1.45 ms), so a longer frame
-# count is still a short wall-clock warmup (~0.74 s).
-DEFAULT_ONSET_WARMUP_FRAMES = 512
+# and frames are much shorter (hop 64 ≈ 1.45 ms, so 128 frames ≈ 0.19 s).
+# Swept on the 1 h mixed scene (tools/warmup_sweep.py): 128 already gives
+# 100.0000% frame agreement with identical onset sets (3305/3305, zero
+# shift); 256/384/512 buy nothing further.
+DEFAULT_ONSET_WARMUP_FRAMES = 128
 
 
 def _chunks_to_f32(audio_chunks):
