@@ -34,7 +34,9 @@ def __getattr__(name):
                 "AnalysisResult", "AnalysisArrays", "FrameFeatures"):
         from . import analysis
         return getattr(analysis, name)
-    if name in ("segmented_pitch_analysis", "segmented_onset_analysis"):
+    if name in ("segmented_pitch_analysis", "segmented_onset_analysis",
+                "segmented_pitch_analysis_batch",
+                "segmented_onset_analysis_batch"):
         from .models import segmented
         return getattr(segmented, name)
     if name in ("decode_file", "encode_file", "decode_available"):

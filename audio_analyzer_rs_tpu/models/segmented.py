@@ -243,6 +243,52 @@ def _pipelined_blocks(padded: np.ndarray, stream_start: np.ndarray,
         pending = nxt
 
 
+class _StreamPlan(NamedTuple):
+    """Shared warmup-overlap stream geometry (see the module docstring).
+
+    Every segment's stream is `stream_len = warmup + payload` frames;
+    segment 0's whole stream is payload (fresh state — exact semantics),
+    segments 1.. discard the first `warmup` outputs.  Payload split:
+      seg 0 owns frames [0, stream_len); seg s>=1 owns
+      [stream_len + (s-1)*payload, stream_len + s*payload).
+    """
+    segments: int
+    warmup_frames: int
+    payload: int        # payload frames per segment (chunk multiple)
+    stream_len: int     # frames per stream incl. warmup
+    steps: int          # jitted steps per stream
+    stream_start: np.ndarray  # [S] stream start offsets, in FRAMES
+    chunk_samples: int
+    stream_samples: int
+    max_sample: int     # samples a recording must be padded to
+
+    def payload_range(self, s: int, n_total: int) -> tuple[int, int]:
+        """Frame range [lo, hi) of the recording that segment s owns,
+        clipped to the recording's own n_total."""
+        if s == 0:
+            return 0, min(self.stream_len, n_total)
+        lo = self.stream_len + (s - 1) * self.payload
+        return lo, min(lo + self.payload, n_total)
+
+
+def _plan_streams(n_total: int, segments: int, warmup_frames: int,
+                  chunk_frames: int, window: int, hop: int) -> _StreamPlan:
+    payload = -(-max(n_total - warmup_frames, 1) // segments)
+    payload = -(-payload // chunk_frames) * chunk_frames   # chunk multiple
+    stream_len = warmup_frames + payload
+    steps = -(-stream_len // chunk_frames)
+    stream_start = np.array(
+        [0] + [stream_len + (s - 1) * payload - warmup_frames
+               for s in range(1, segments)])
+    assert (stream_start >= 0).all()
+    chunk_samples = (chunk_frames - 1) * hop + window
+    stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
+    max_sample = int(stream_start.max()) * hop + stream_samples
+    return _StreamPlan(segments, warmup_frames, payload, stream_len, steps,
+                       stream_start, chunk_samples, stream_samples,
+                       max_sample)
+
+
 def auto_segments(n_total: int, warmup_frames: int, cap: int = 128) -> int:
     """Segment count for a recording of n_total frames: keep each segment's
     payload near >= 10x the discarded warmup (overhead ~<= 10%), capped
@@ -307,29 +353,13 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     if segments is None:
         segments = auto_segments(n_total, warmup_frames)
 
-    # Every segment's stream is L = warmup + payload frames; segment 0's
-    # whole stream is payload (fresh state — exact semantics; see the module
-    # docstring for the GEMM backend's geometry-rounding caveat), segments
-    # 1.. discard
-    # the first `warmup` outputs.  Payload split:
-    #   seg 0 owns frames [0, L); seg s>=1 owns [L + (s-1)P, L + sP).
+    # Stream geometry (see _StreamPlan; the module docstring covers the GEMM
+    # backend's geometry-rounding caveat for segment 0's exact prefix).
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
     segments = _snap_to_mesh(segments, mesh)
-    payload = -(-max(n_total - warmup_frames, 1) // segments)
-    payload = -(-payload // chunk_frames) * chunk_frames   # chunk multiple
-    stream_len = warmup_frames + payload
-    steps = -(-stream_len // chunk_frames)
-
-    def seg_payload_range(s):
-        if s == 0:
-            return 0, min(stream_len, n_total)
-        lo = stream_len + (s - 1) * payload
-        return lo, min(lo + payload, n_total)
-
-    stream_start = np.array(
-        [0 if s == 0 else seg_payload_range(s)[0] - warmup_frames
-         for s in range(segments)])
-    assert (stream_start >= 0).all()
+    plan = _plan_streams(n_total, segments, warmup_frames, chunk_frames,
+                         window, hop)
+    steps, stream_start = plan.steps, plan.stream_start
 
     half = window // 2 + 1
     gf_lin = float(np.asarray(
@@ -341,9 +371,8 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     nf_states = rep(noisefloor.init_state(half))
     tr_states = rep(tracker.init_state())
 
-    chunk_samples = (chunk_frames - 1) * hop + window
-    stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
-    max_sample = int(stream_start.max()) * hop + stream_samples
+    chunk_samples, stream_samples = plan.chunk_samples, plan.stream_samples
+    max_sample = plan.max_sample
 
     out_freqs = np.zeros((n_total, 8), np.float32)
     out_scores = np.zeros((n_total, 8), np.float32)
@@ -396,7 +425,7 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     ss = ss.reshape(segments, steps * chunk_frames, 8)
     sv = sv.reshape(segments, steps * chunk_frames, 8)
     for s in range(segments):
-        pay_lo, pay_hi = seg_payload_range(s)
+        pay_lo, pay_hi = plan.payload_range(s, n_total)
         if pay_lo >= pay_hi:
             continue
         src = pay_lo - stream_start[s]   # warmup offset within the stream
@@ -463,21 +492,9 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
 
     segments = max(1, min(segments, max(n_total // max(chunk_frames, 1), 1)))
     segments = _snap_to_mesh(segments, mesh)
-    payload = -(-max(n_total - warmup_frames, 1) // segments)
-    payload = -(-payload // chunk_frames) * chunk_frames
-    stream_len = warmup_frames + payload
-    steps = -(-stream_len // chunk_frames)
-
-    def seg_payload_range(s):
-        if s == 0:
-            return 0, min(stream_len, n_total)
-        lo = stream_len + (s - 1) * payload
-        return lo, min(lo + payload, n_total)
-
-    stream_start = np.array(
-        [0 if s == 0 else seg_payload_range(s)[0] - warmup_frames
-         for s in range(segments)])
-    assert (stream_start >= 0).all()
+    plan = _plan_streams(n_total, segments, warmup_frames, chunk_frames,
+                         window, hop)
+    steps, stream_start = plan.steps, plan.stream_start
 
     half = window // 2 + 1
     gf_lin = float(np.asarray(
@@ -487,9 +504,8 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
         lambda a: jnp.broadcast_to(a, (segments,) + a.shape),
         onset_ops.init_state(half))
 
-    chunk_samples = (chunk_frames - 1) * hop + window
-    stream_samples = (steps - 1) * chunk_frames * hop + chunk_samples
-    max_sample = int(stream_start.max()) * hop + stream_samples
+    chunk_samples, stream_samples = plan.chunk_samples, plan.stream_samples
+    max_sample = plan.max_sample
 
     out_fired = np.zeros(n_total, bool)
     out_vel = np.zeros(n_total, np.float32)
@@ -540,7 +556,7 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
     energy = np.asarray(jnp.stack([o.energy for o in step_outs], 1)) \
         .reshape(segments, steps * chunk_frames)
     for s in range(segments):
-        pay_lo, pay_hi = seg_payload_range(s)
+        pay_lo, pay_hi = plan.payload_range(s, n_total)
         if pay_lo >= pay_hi:
             continue
         src = pay_lo - stream_start[s]
@@ -549,3 +565,225 @@ def segmented_onset_analysis(audio: np.ndarray, sample_rate: float,
         out_flux[pay_lo:pay_hi] = flux[s, src:src + (pay_hi - pay_lo)]
         out_energy[pay_lo:pay_hi] = energy[s, src:src + (pay_hi - pay_lo)]
     return out_fired, out_vel, out_flux, out_energy
+
+
+# ── Batched multi-recording analysis (serving many short takes) ──────────
+#
+# A single short take (a ~30 s practice recording — the reference app's
+# actual workload, ref src/practice/mod.rs:430-560 sessions) only fans out
+# to a handful of segments (auto_segments: payload >= 10x warmup), so one
+# take leaves the chip mostly idle: ~2 segments ≈ 2x the 20k frames/s
+# single-stream scan rate, 20x below the 128-row device sweet spot.  For
+# serving, the fix is batching RECORDINGS x SEGMENTS as one flat row axis:
+# every row is an independent scan stream (fresh state, own warmup), so B
+# takes x S segments reuse the exact single-recording step programs
+# (_vmapped_step_resident) at full occupancy.  Rows of different takes
+# never interact; each take unpacks exactly like the single-recording path.
+
+
+def _pow2_floor(v: int) -> int:
+    return 1 << (max(int(v), 1).bit_length() - 1)
+
+
+def _batch_plan(n_list, segments_per_recording, warmup_frames, chunk_frames,
+                window, hop, rows_target: int = 128):
+    """Shared geometry for a batch: every recording gets the same
+    segments-per-recording S and the same stream plan (sized for the
+    longest recording; shorter ones zero-pad and clip at unpack).  S is
+    picked so B*S lands near `rows_target` (the measured device sweet
+    spot) without exceeding auto_segments' payload>=10x-warmup rule."""
+    n_max = max(n_list)
+    if segments_per_recording is None:
+        cap = _pow2_floor(max(1, rows_target // max(len(n_list), 1)))
+        segments_per_recording = auto_segments(n_max, warmup_frames, cap=cap)
+    s = max(1, min(segments_per_recording,
+                   max(n_max // max(chunk_frames, 1), 1)))
+    return _plan_streams(n_max, s, warmup_frames, chunk_frames, window, hop)
+
+
+def _pack_batch(hosts, plan, hop, mesh):
+    """Recordings → one flat device-upload array + per-row slice starts.
+
+    Each recording is zero-padded to `plan.max_sample` and laid out
+    contiguously, so row (b, s) slices at b*max_sample + stream_start[s]*hop
+    and never crosses into recording b+1.  int16 stays int16 for the
+    half-bandwidth upload iff ALL recordings are int16 (mixed batches
+    convert to f32 on host).  With `mesh`, rows pad up to a device-count
+    multiple with dummy rows (start 0; outputs discarded)."""
+    b = len(hosts)
+    dtype = np.int16 if all(h.dtype == np.int16 for h in hosts) \
+        else np.float32
+    flat = np.zeros(b * plan.max_sample, dtype)
+    for i, h in enumerate(hosts):
+        flat[i * plan.max_sample:i * plan.max_sample + len(h)] = \
+            h if h.dtype == dtype else h.astype(np.float32)
+    rows = b * plan.segments
+    rows_pad = rows if mesh is None else \
+        -(-rows // mesh.size) * mesh.size
+    starts = np.zeros(rows_pad, np.int64)
+    for r in range(rows):
+        rec, s = divmod(r, plan.segments)
+        starts[r] = rec * plan.max_sample + int(plan.stream_start[s]) * hop
+    return flat, jnp.asarray(starts, jnp.int32), rows_pad
+
+
+def segmented_pitch_analysis_batch(audios, sample_rate: float,
+                                   segments_per_recording: int | None = None,
+                                   warmup_frames: int = DEFAULT_WARMUP_FRAMES,
+                                   chunk_frames: int = 64,
+                                   window: int = PITCH_WINDOW,
+                                   hop: int = PITCH_HOP,
+                                   backend: str = PITCH_BACKEND,
+                                   global_floor_db: float = -96.0,
+                                   mesh=None):
+    """Analyze a BATCH of independent mono recordings in one device program.
+
+    Returns a list of (stable_freqs [Ni,8], stable_scores [Ni,8],
+    stable_valid [Ni,8]) — exactly `segmented_pitch_analysis`'s contract,
+    per recording.  Recordings may have different lengths (each is padded
+    to the longest; outputs clip to its own frame count) and int16 input
+    keeps the half-bandwidth upload when the whole batch is int16.
+
+    With `mesh`, the flat recording×segment row axis shards across the
+    devices (rows pad up to a device-count multiple).
+    """
+    hosts = [_as_host_audio(a) for a in audios]
+    if not hosts:
+        return []
+    n_list = [num_frames(len(h), window, hop) for h in hosts]
+    empty = (np.zeros((0, 8), np.float32), np.zeros((0, 8), np.float32),
+             np.zeros((0, 8), bool))
+    if max(n_list) <= 0:
+        return [empty for _ in hosts]
+    plan = _batch_plan(n_list, segments_per_recording, warmup_frames,
+                       chunk_frames, window, hop)
+    flat, starts, rows = _pack_batch(hosts, plan, hop, mesh)
+
+    half = window // 2 + 1
+    gf_lin = float(np.asarray(
+        noisefloor.global_floor_linear(global_floor_db, half)))
+
+    def rep(state):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (rows,) + a.shape), state)
+    nf_states = rep(noisefloor.init_state(half))
+    tr_states = rep(tracker.init_state())
+    gf = jnp.full((rows, chunk_frames), gf_lin, jnp.float32)
+    onsets = jnp.zeros((rows, chunk_frames), bool)
+
+    audio_dev = _upload_f32(flat)
+    seg_streams = _slice_streams(audio_dev, starts, plan.stream_samples)
+    if mesh is not None:
+        nf_states, tr_states, gf, onsets, seg_streams = _shard_batch(
+            (nf_states, tr_states, gf, onsets, seg_streams), mesh)
+
+    step_outs = []
+    for step in range(plan.steps):
+        nf_states, tr_states, out = _vmapped_step_resident(
+            nf_states, tr_states, seg_streams,
+            jnp.asarray(step * chunk_frames * hop, jnp.int32), gf, onsets,
+            plan.chunk_samples, sample_rate, window, hop, backend)
+        step_outs.append(out)
+    sf = np.asarray(jnp.stack([o.stable_freqs for o in step_outs], 1))
+    ss = np.asarray(jnp.stack([o.stable_scores for o in step_outs], 1))
+    sv = np.asarray(jnp.stack([o.stable_valid for o in step_outs], 1))
+    stream_frames = plan.steps * chunk_frames
+    sf = sf.reshape(rows, stream_frames, 8)
+    ss = ss.reshape(rows, stream_frames, 8)
+    sv = sv.reshape(rows, stream_frames, 8)
+
+    results = []
+    for b, n_total in enumerate(n_list):
+        of = np.zeros((n_total, 8), np.float32)
+        os_ = np.zeros((n_total, 8), np.float32)
+        ov = np.zeros((n_total, 8), bool)
+        for s in range(plan.segments):
+            pay_lo, pay_hi = plan.payload_range(s, n_total)
+            if pay_lo >= pay_hi:
+                continue
+            r = b * plan.segments + s
+            src = pay_lo - int(plan.stream_start[s])
+            of[pay_lo:pay_hi] = sf[r, src:src + (pay_hi - pay_lo)]
+            os_[pay_lo:pay_hi] = ss[r, src:src + (pay_hi - pay_lo)]
+            ov[pay_lo:pay_hi] = sv[r, src:src + (pay_hi - pay_lo)]
+        results.append((of, os_, ov))
+    return results
+
+
+def segmented_onset_analysis_batch(audios, sample_rate: float,
+                                   segments_per_recording: int | None = None,
+                                   warmup_frames: int =
+                                   DEFAULT_ONSET_WARMUP_FRAMES,
+                                   chunk_frames: int = 4096,
+                                   window: int = ONSET_WINDOW,
+                                   hop: int = ONSET_HOP,
+                                   backend: str = DEFAULT_BACKEND,
+                                   global_floor_db: float = -96.0,
+                                   mesh=None):
+    """Batch analog of `segmented_onset_analysis`: a list of recordings in,
+    a list of (fired [Ni], velocity [Ni], flux [Ni], energy [Ni]) out —
+    one device program over the flat recording×segment row axis (see
+    `segmented_pitch_analysis_batch`)."""
+    hosts = [_as_host_audio(a) for a in audios]
+    if not hosts:
+        return []
+    n_list = [num_frames(len(h), window, hop) for h in hosts]
+    z = np.zeros(0, np.float32)
+    empty = (np.zeros(0, bool), z, z.copy(), z.copy())
+    if max(n_list) <= 0:
+        return [empty for _ in hosts]
+    plan = _batch_plan(n_list, segments_per_recording, warmup_frames,
+                       chunk_frames, window, hop)
+    flat, starts, rows = _pack_batch(hosts, plan, hop, mesh)
+
+    half = window // 2 + 1
+    gf_lin = float(np.asarray(
+        noisefloor.global_floor_linear(global_floor_db, half)))
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (rows,) + a.shape),
+        onset_ops.init_state(half))
+    gf = jnp.full((rows, chunk_frames), gf_lin, jnp.float32)
+    ts = jnp.zeros((rows, chunk_frames), bool)
+    hold = jnp.zeros((rows, chunk_frames), bool)
+
+    audio_dev = _upload_f32(flat)
+    seg_streams = _slice_streams(audio_dev, starts, plan.stream_samples)
+    if mesh is not None:
+        states, gf, ts, hold, seg_streams = _shard_batch(
+            (states, gf, ts, hold, seg_streams), mesh)
+
+    step_outs = []
+    for step in range(plan.steps):
+        states, out = _vmapped_onset_step(
+            states, seg_streams,
+            jnp.asarray(step * chunk_frames * hop, jnp.int32), gf, ts, hold,
+            plan.chunk_samples, window, backend, hop)
+        step_outs.append(out)
+    stream_frames = plan.steps * chunk_frames
+    fired = np.asarray(jnp.stack([o.fired for o in step_outs], 1)) \
+        .reshape(rows, stream_frames)
+    vel = np.asarray(jnp.stack([o.velocity for o in step_outs], 1)) \
+        .reshape(rows, stream_frames)
+    flux = np.asarray(jnp.stack([o.flux for o in step_outs], 1)) \
+        .reshape(rows, stream_frames)
+    energy = np.asarray(jnp.stack([o.energy for o in step_outs], 1)) \
+        .reshape(rows, stream_frames)
+
+    results = []
+    for b, n_total in enumerate(n_list):
+        o_f = np.zeros(n_total, bool)
+        o_v = np.zeros(n_total, np.float32)
+        o_x = np.zeros(n_total, np.float32)
+        o_e = np.zeros(n_total, np.float32)
+        for s in range(plan.segments):
+            pay_lo, pay_hi = plan.payload_range(s, n_total)
+            if pay_lo >= pay_hi:
+                continue
+            r = b * plan.segments + s
+            src = pay_lo - int(plan.stream_start[s])
+            o_f[pay_lo:pay_hi] = fired[r, src:src + (pay_hi - pay_lo)]
+            o_v[pay_lo:pay_hi] = vel[r, src:src + (pay_hi - pay_lo)]
+            o_x[pay_lo:pay_hi] = flux[r, src:src + (pay_hi - pay_lo)]
+            o_e[pay_lo:pay_hi] = energy[r, src:src + (pay_hi - pay_lo)]
+        results.append((o_f, o_v, o_x, o_e))
+    return results

@@ -63,14 +63,19 @@ def main():
               file=sys.stderr)
         return out
 
-    run("pitch_resident_i16_s", segmented_pitch_analysis, i16)
+    # transfer= passed explicitly: "auto" would silently resolve by length
+    # (pipelined >= 15 min) and mislabel the row.
+    run("pitch_resident_i16_s", segmented_pitch_analysis, i16,
+        transfer="resident")
     run("pitch_pipelined_i16_s", segmented_pitch_analysis, i16,
         transfer="pipelined")
-    run("pitch_resident_f32_s", segmented_pitch_analysis, x)
+    run("pitch_resident_f32_s", segmented_pitch_analysis, x,
+        transfer="resident")
     run("pitch_pipelined_f32_s", segmented_pitch_analysis, x,
         transfer="pipelined")
     if not args.pitch_only:
-        run("onset_resident_i16_s", segmented_onset_analysis, i16)
+        run("onset_resident_i16_s", segmented_onset_analysis, i16,
+            transfer="resident")
         run("onset_pipelined_i16_s", segmented_onset_analysis, i16,
             transfer="pipelined")
     print(json.dumps(results))
