@@ -171,7 +171,12 @@ class PitchAnalyzer:
             outs.append(out)
         out = outs[0] if len(outs) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *outs)
-        out = jax.tree.map(np.asarray, out)
+        # Batched readback: device_get issues copy_to_host_async() on every
+        # leaf before gathering, so the 8 output leaves cost ~one blocking
+        # host<->device round trip instead of 8 (per-leaf np.asarray blocks
+        # each time — measured 8x the link RTT per slot on the streaming
+        # path, tools/engine_rt_bench.py).
+        out = jax.device_get(out)
         if self.debug_recorder is not None:
             bin_width = self.sample_rate / self.window
             for i in range(n):
@@ -258,4 +263,5 @@ class OnsetAnalyzer:
         out = outs[0] if len(outs) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *outs)
         self.frames_consumed += n
-        return jax.tree.map(np.asarray, out)
+        # Batched readback (see PitchAnalyzer.process): ~1 round trip, not 8.
+        return jax.device_get(out)
