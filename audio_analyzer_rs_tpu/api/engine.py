@@ -384,6 +384,13 @@ class _PitchConsumer:
             onset_first=onset_flag)
         if out is None:
             return
+        self._post(out, base)
+
+    def _post(self, out, base: int) -> None:
+        """Host side of a processed burst: stamp per-frame beats and feed the
+        tuner (shared by the sequential and fused engine paths — `out` only
+        needs the stable_* fields)."""
+        e = self.engine
         n = len(out.stable_freqs)
         # Deterministic per-frame beats: each frame is stamped at the input
         # sample where its window ended (the reference stamps with the beat
@@ -424,16 +431,12 @@ class _OnsetConsumer:
         # Input-frame position at attach (see _PitchConsumer.base_input_frame).
         self.base_input_frame = engine.transport.get_input_frames()
 
-    def consume(self, slot: np.ndarray) -> None:
-        if self.detection.state != 1:
-            self.dropped_samples += len(slot)
-            return
-        e = self.engine
-        t = e.transport
-        # Precompute per-frame tick suppression from the transport's tick
-        # history (ref onset.rs:383-395 stamps then checks the history).
-        n_expected = num_frames(len(self.analyzer._tail) + len(slot),
-                                ONSET_WINDOW, ONSET_HOP)
+    def _tick_suppression(self, n_expected: int) -> np.ndarray:
+        """Per-frame tick suppression from the transport's tick history
+        (ref onset.rs:383-395 stamps then checks the history).  Must be
+        called BEFORE the analyzer consumes the burst (frame positions are
+        derived from its current frame counter)."""
+        t = self.engine.transport
         base = self.analyzer.frames_consumed
         guard_beats = TICK_GUARD_S * t.get_bpm() / 60.0
         tick_sup = np.zeros(n_expected, dtype=bool)
@@ -443,12 +446,30 @@ class _OnsetConsumer:
             ev = t.stamp_onset(center - t.get_input_frames(), 0.0)
             tick_sup[i] = (t.nearest_tick_distance_beats(ev.beat_position)
                            < guard_beats)
+        return tick_sup
+
+    def consume(self, slot: np.ndarray) -> None:
+        if self.detection.state != 1:
+            self.dropped_samples += len(slot)
+            return
+        e = self.engine
+        n_expected = num_frames(len(self.analyzer._tail) + len(slot),
+                                ONSET_WINDOW, ONSET_HOP)
+        base = self.analyzer.frames_consumed
+        tick_sup = self._tick_suppression(n_expected)
         out = self.analyzer.process(
             slot, global_floor_db=e.dynamics_out["noise_floor_db"],
             tick_suppressed=tick_sup,
             calibration_hold=not self.calibration_done)
         if out is None:
             return
+        self._post(out, tick_sup, base)
+
+    def _post(self, out, tick_sup: np.ndarray, base: int) -> None:
+        """Host side of a processed burst: debug telemetry, calibration
+        handling, event stamping (shared by sequential and fused paths)."""
+        e = self.engine
+        t = e.transport
         n = len(out.fired)
         if e.debug_recorder is not None:
             from .. import devtools
@@ -540,6 +561,14 @@ class AudioEngine:
                              "session_median_db": -96.0,
                              "noise_floor_db": -96.0}
         self.onset_pending = False
+        # Fused streaming: when both live flows (pitch + onset) run
+        # post-calibration, each slot is ONE device program (one packed
+        # upload, one dispatch, one batched readback) instead of two
+        # independent consumer steps — see models/analyzer.fused_slot_step
+        # and tools/engine_rt_bench.py.  Results are identical (tested);
+        # set False to force the sequential per-consumer path.
+        self.fused_streaming = True
+        self._fused_slots = 0      # observability: slots run via fused path
         self.calibration_target = 0
         self.debug_recorder = None   # devtools recorder (attach_debug_recorder)
         self.input_error = False
@@ -667,12 +696,83 @@ class AudioEngine:
         self.dynamics_out = {k: d[k] for k in
                              ("level", "rms_db", "gain_db",
                               "session_median_db", "noise_floor_db")}
+        # Fused fast path: both live flows in one device program (see
+        # _fused_consume).  Falls back to the sequential consumers during
+        # calibration, when a flow is paused, or with a debug recorder
+        # attached (the debug path wants the full floor surface).
+        pc = oc = None
+        if self.fused_streaming and self.debug_recorder is None:
+            for c in self._consumers.values():
+                if isinstance(c, _PitchConsumer):
+                    pc = c
+                elif isinstance(c, _OnsetConsumer):
+                    oc = c
+            if not (pc is not None and oc is not None and pc.state == 1
+                    and oc.detection.state == 1 and oc.calibration_done
+                    and pc.analyzer.debug_recorder is None):
+                pc = oc = None
         # Onset before pitch so onset_pending reaches the tracker in-burst
         # (the reference's onset thread runs at 4x the pitch hop rate).
         ordered = sorted(self._consumers.items(),
                          key=lambda kv: 0 if isinstance(kv[1], _OnsetConsumer) else 1)
         for _, consumer in ordered:
+            if consumer is pc or consumer is oc:
+                continue
             consumer.consume(slot)
+        if pc is not None:
+            self._fused_consume(slot, pc, oc)
+
+    def _fused_consume(self, slot: np.ndarray, pc: "_PitchConsumer",
+                       oc: "_OnsetConsumer") -> None:
+        """Run both live flows as ONE device program for this slot.
+
+        Packs every host-produced input (ring tails, audio, floor scalars,
+        pending flag, tick suppression) into a single f32 vector so the slot
+        costs one host->device upload, one dispatch, and one batched
+        readback — the per-slot round trips the sequential consumers issue
+        (~17) dominate streaming latency on high-latency links
+        (tools/engine_rt_bench.py; the fused program is the rebuild of the
+        reference's per-callback analysis, ref src/audio_io/mod.rs:657-938).
+        Semantics match the sequential order exactly: the onset flow runs
+        first and this slot's fires reach the pitch tracker in-burst."""
+        import jax
+        import jax.numpy as jnp
+        from ..models.analyzer import fused_slot_step
+        from ..ops import noisefloor
+        pa, oa = pc.analyzer, oc.analyzer
+        slot = np.asarray(slot, np.float32)
+        n_p = num_frames(len(pa._tail) + len(slot), pa.window, pa.hop)
+        n_o = num_frames(len(oa._tail) + len(slot), oa.window, oa.hop)
+        # The pitch flow consumes the pending flag every slot it runs
+        # (sequential: _PitchConsumer.consume reads + clears before process);
+        # on device frame 0 sees pending | any(fired-this-slot).
+        onset_flag = self.onset_pending
+        tick_sup = oc._tick_suppression(n_o)
+        gf_db = self.dynamics_out["noise_floor_db"]
+        gfp = float(noisefloor.global_floor_linear(gf_db, pa.window // 2 + 1))
+        gfo = float(noisefloor.global_floor_linear(gf_db, oa.window // 2 + 1))
+        packed = np.concatenate([
+            pa._tail, oa._tail, slot,
+            np.asarray([gfp, gfo, 1.0 if onset_flag else 0.0], np.float32),
+            tick_sup.astype(np.float32)])
+        pa.nf_state, pa.tr_state, oa.state, out = fused_slot_step(
+            pa.nf_state, pa.tr_state, oa.state, jnp.asarray(packed),
+            self.sample_rate, len(slot), len(pa._tail), len(oa._tail),
+            pa.window, pa.hop, oa.window, oa.hop, pa.backend, oa.backend)
+        out = jax.device_get(out)
+        self._fused_slots += 1
+        p_base, o_base = pa.frames_consumed, oa.frames_consumed
+        pa._tail, oa._tail = out.p_tail, out.o_tail
+        pa.frames_consumed += n_p
+        oa.frames_consumed += n_o
+        if n_o:
+            oc._post(out.onset, tick_sup, o_base)
+        # The device applied pending | fired to this burst's first frame;
+        # clear the flag exactly like the sequential pitch consume does
+        # (fires recorded by oc._post above were consumed in-burst).
+        self.onset_pending = False
+        if n_p:
+            pc._post(out, p_base)
 
     # ── spawns (ref lib.rs:448-624, mod.rs:944-1129) ─────────────────────
 

@@ -213,6 +213,102 @@ def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
                                 out.energy_rising, out.frames_since)
 
 
+class FusedSlotOut(NamedTuple):
+    """Per-slot outputs of `fused_slot_step` (the live engine's fused path).
+
+    Pitch fields are the tracker's stable outputs ([n_p, 8] — all the live
+    tuner consumes, ref stft.rs:387-390); `onset` carries the full onset
+    per-frame record ([n_o] each); the tails are the unconsumed ring
+    remainders handed back to the host for the next slot."""
+    stable_freqs: jax.Array
+    stable_scores: jax.Array
+    stable_valid: jax.Array
+    onset: OnsetChunkOut
+    p_tail: jax.Array
+    o_tail: jax.Array
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "p_tail_len",
+                                   "o_tail_len", "p_window", "p_hop",
+                                   "o_window", "o_hop", "pitch_backend",
+                                   "onset_backend"))
+def fused_slot_step(nf_state, tr_state, onset_state, packed,
+                    sample_rate: float, slot_len: int, p_tail_len: int,
+                    o_tail_len: int, p_window: int = PITCH_WINDOW,
+                    p_hop: int = PITCH_HOP, o_window: int = ONSET_WINDOW,
+                    o_hop: int = ONSET_HOP,
+                    pitch_backend: str = PITCH_BACKEND,
+                    onset_backend: str = DEFAULT_BACKEND):
+    """One device program per realtime audio slot: both live flows fused.
+
+    The reference's realtime engine runs one onset thread and one pitch
+    thread per audio callback (ref src/audio_io/mod.rs:657-938); the
+    rebuild's per-consumer device steps issue ~17 host<->device round trips
+    per 1024-sample slot (state feeds, two dispatches, per-leaf readbacks —
+    measured in tools/engine_rt_bench.py), which dominates streaming latency
+    on any link slower than PCIe.  This step collapses the slot to ONE
+    upload + ONE dispatch + ONE batched readback: every host-produced input
+    rides in a single packed f32 vector, the ring-buffer tails advance on
+    device, and the onset->pitch in-burst dependency (onset_pending, ref
+    stft.rs:387) is resolved on device from this slot's own `fired` vector.
+
+    Packed layout (all f32):
+        [p_tail | o_tail | slot | gf_pitch_lin | gf_onset_lin | pending |
+         tick_suppressed (n_o entries, 0/1)]
+    where n_p/n_o = num_frames(tail+slot) are implied by the static lengths.
+    Semantics are identical to running `onset_analyze_frames` then
+    `pitch_analyze_frames` with onsets[0] = pending | any(fired) — the
+    engine's sequential consumer order (api/engine.py _input_callback).
+    Only valid post-calibration (calibration_hold is all-False here); the
+    engine falls back to the sequential consumers during calibration.
+    """
+    p_tail = packed[:p_tail_len]
+    o_tail = packed[p_tail_len:p_tail_len + o_tail_len]
+    s0 = p_tail_len + o_tail_len
+    slot = packed[s0:s0 + slot_len]
+    gf_p = packed[s0 + slot_len]
+    gf_o = packed[s0 + slot_len + 1]
+    pending = packed[s0 + slot_len + 2] > 0.5
+    n_p = num_frames(p_tail_len + slot_len, p_window, p_hop)
+    n_o = num_frames(o_tail_len + slot_len, o_window, o_hop)
+    tick_sup = packed[s0 + slot_len + 3:s0 + slot_len + 3 + n_o] > 0.5
+
+    # Onset flow first (engine consumer order: the onset_pending flag set by
+    # this slot's fires reaches the pitch tracker in the same burst).
+    o_buf = jnp.concatenate([o_tail, slot])
+    fired_any = jnp.asarray(False)
+    if n_o:
+        o_frames = frame_signal(o_buf[:(n_o - 1) * o_hop + o_window],
+                                o_window, o_hop)
+        onset_state, o_out = onset_analyze_frames(
+            onset_state, o_frames, jnp.full((n_o,), gf_o, jnp.float32),
+            tick_sup, jnp.zeros((n_o,), bool), o_window, onset_backend)
+        fired_any = o_out.fired.any()
+    else:                                                 # ramp-up variants
+        zf = jnp.zeros((0,), jnp.float32)
+        zb = jnp.zeros((0,), bool)
+        zi = jnp.zeros((0,), jnp.int32)
+        o_out = OnsetChunkOut(zb, zb, zf, zf, zf, zi, zb, zi)
+    o_new_tail = o_buf[n_o * o_hop:]
+
+    p_buf = jnp.concatenate([p_tail, slot])
+    if n_p:
+        p_frames = frame_signal(p_buf[:(n_p - 1) * p_hop + p_window],
+                                p_window, p_hop)
+        onsets = jnp.zeros((n_p,), bool).at[0].set(pending | fired_any)
+        nf_state, tr_state, pout = pitch_analyze_frames(
+            nf_state, tr_state, p_frames, jnp.full((n_p,), gf_p, jnp.float32),
+            onsets, sample_rate, p_window, p_hop, pitch_backend)
+        sf, ss, sv = pout.stable_freqs, pout.stable_scores, pout.stable_valid
+    else:
+        sf = jnp.zeros((0, 8), jnp.float32)
+        ss = jnp.zeros((0, 8), jnp.float32)
+        sv = jnp.zeros((0, 8), bool)
+    p_new_tail = p_buf[n_p * p_hop:]
+    return nf_state, tr_state, onset_state, FusedSlotOut(
+        sf, ss, sv, o_out, p_new_tail, o_new_tail)
+
+
 @dataclass
 class OnsetAnalyzer:
     """Streaming onset detection (window 256 / hop 64)."""

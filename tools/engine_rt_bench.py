@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--sr", type=float, default=48000.0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke mode)")
+    ap.add_argument("--sequential", action="store_true",
+                    help="disable the fused per-slot program (A/B: the "
+                         "per-consumer path with its ~17 round trips/slot)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +84,8 @@ def main():
     total_s = warm_s + args.seconds + 1.0
     scene = gen.mixed_scene(total_s, sr, seed=7)
     engine = AudioEngine(input_source=ArraySource(scene), sample_rate=sr)
+    if args.sequential:
+        engine.fused_streaming = False
     tuner = engine.start_tuner()
     onset = engine.start_onset_detection()
 
@@ -112,7 +117,7 @@ def main():
         f"p99 {pct(per_slot, 0.99):.2f}; realtime budget {slot_ms:.2f} ms)")
     # The flows must actually have produced output.
     log(f"tuner labels seen: {sorted(labels)[:8]}; onsets drained: "
-        f"{onsets_seen}")
+        f"{onsets_seen}; fused slots: {engine._fused_slots}/{n_slots}")
 
     # ── 2. tunnel RPC round-trip (dispatch + tiny readback) ──────────────
     one = jnp.zeros((8,), jnp.float32)
@@ -175,9 +180,36 @@ def main():
     onset_step(); state.pop("o")        # compile
     onset_ms = device_step_ms(onset_step)
 
+    # 3b. the fused per-slot program — what the engine actually dispatches
+    # every slot post-calibration (models/analyzer.fused_slot_step): both
+    # flows + on-device ring advance in ONE program.
+    from audio_analyzer_rs_tpu.models.analyzer import fused_slot_step
+    from audio_analyzer_rs_tpu.utils.framing import num_frames as _nf
+    # Steady-state ring tails for 1024-sample slots: pitch 1536 (window -
+    # hop), onset 192 (fixed point of tail -> tail + slot - n*hop).
+    p_tail_len = PITCH_WINDOW - PITCH_HOP
+    o_tail_len = 192
+    n_o = _nf(o_tail_len + slot, ONSET_WINDOW, ONSET_HOP)
+    nff = noisefloor.init_state(PITCH_WINDOW // 2 + 1)
+    trf = tracker.init_state()
+    ostf = onset_ops.init_state(ONSET_WINDOW // 2 + 1)
+    packed = jnp.asarray(np.concatenate([
+        scene[:p_tail_len], scene[:o_tail_len], scene[:slot],
+        np.asarray([1e-3, 1e-3, 0.0], np.float32),
+        np.zeros(n_o, np.float32)]).astype(np.float32))
+
+    def fused_step():
+        s = state.setdefault("f", (nff, trf, ostf))
+        a, b, c, out = fused_slot_step(s[0], s[1], s[2], packed, sr, slot,
+                                       p_tail_len, o_tail_len)
+        state["f"] = (a, b, c)
+        return (out.stable_freqs, out.onset.fired)
+    fused_step(); state.pop("f")        # compile
+    fused_ms = device_step_ms(fused_step)
+
     device_ms = pitch_ms + onset_ms
     log(f"device steps: pitch {pitch_ms:.3f} ms + onset {onset_ms:.3f} ms "
-        f"= {device_ms:.3f} ms/slot")
+        f"= {device_ms:.3f} ms/slot separate; fused {fused_ms:.3f} ms/slot")
 
     print(json.dumps({
         "slot_ms": round(slot_ms, 3),
@@ -188,10 +220,12 @@ def main():
         "rpc_rtt_ms": round(rtt, 3),
         "device_ms_per_slot": {"pitch": round(pitch_ms, 3),
                                "onset": round(onset_ms, 3),
-                               "total": round(device_ms, 3)},
-        "xrt_device": round(slot_ms / device_ms, 1),
+                               "separate_total": round(device_ms, 3),
+                               "fused": round(fused_ms, 3)},
+        "xrt_device": round(slot_ms / fused_ms, 1),
         "backend": str(jax.devices()[0]),
         "n_slots": n_slots,
+        "fused_slots": engine._fused_slots,
     }))
 
 
