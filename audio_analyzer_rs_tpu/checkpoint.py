@@ -151,6 +151,9 @@ def save_engine(path: str, engine) -> None:
     same way (sample rate, buffer size, same consumers started)."""
     from .api.engine import _OnsetConsumer, _PitchConsumer
 
+    # Surface any deferred fused-streaming results and pending flags so the
+    # snapshot reflects every consumed slot (api/engine.py fused path).
+    engine._flush_fused()
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {
         "sample_rate": engine.sample_rate,

@@ -74,6 +74,33 @@ def pitch_extract_frames(nf_state, frames, global_floor,
     return nf_state, pf, mags, eff_floor
 
 
+@partial(jax.jit, static_argnames=("sample_rate", "window", "backend"))
+def floor_warmup_frames(nf_state, frames, global_floor,
+                        sample_rate: float, window: int = PITCH_WINDOW,
+                        backend: str = PITCH_BACKEND):
+    """STFT + noise-floor scan ONLY: pre-framed audio [N, window] →
+    nf_state, with the comb/tracker stages skipped entirely.
+
+    The segment-parallel warmup (models/segmented.py `warmup_mode="floor"`)
+    discards every output of its look-back frames, so only the floor
+    IIR state needs computing there — and the comb is ~70% of the full
+    step (docs/PERFORMANCE.md step-ablation table).  The banding and mags
+    computation mirror `pitch_extract_frames` exactly (same constants,
+    same windowed_mags call shape per frame), so the floor recurrence sees
+    the same inputs the full step would."""
+    half = window // 2 + 1
+    bin_width = float(np.float32(sample_rate) / np.float32(window))
+    band = pitch_ops.candidate_band(bin_width, half)
+    if backend.endswith("_band"):
+        base = backend[:-len("_band")]
+        mags = windowed_mags(frames, window, backend=base, band=band + 1)
+    else:
+        mags = windowed_mags(frames, window, backend=backend)
+    nf_state, _ = noisefloor.noise_floor_scan(nf_state, mags, global_floor,
+                                              band)
+    return nf_state
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "window", "hop", "backend",
                                    "return_floor", "comb"))
 def pitch_analyze_frames(nf_state, tr_state, frames, global_floor, onsets,
@@ -213,77 +240,134 @@ def onset_analyze_frames(state, frames, global_floor, tick_suppressed,
                                 out.energy_rising, out.frames_since)
 
 
+def pack_fused_out(outs) -> jax.Array:
+    """Flatten a FusedSlotOut (or a tuple of them) into ONE f32 vector.
+
+    The tunneled host<->device link charges per-buffer overhead (~5 ms per
+    array fetch measured via tools/engine_rt_bench.py); a FusedSlotOut is
+    11 small arrays, so reading a slot (or an A-slot aggregate: 11*A
+    arrays) back leaf-by-leaf costs more link time than the bytes.  Bool
+    and int32 leaves cast exactly to f32 (0/1 flags; counters << 2^24), so
+    one packed vector per readback is bit-faithful."""
+    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32)
+                            for l in jax.tree.leaves(outs)])
+
+
+def fused_out_len(n_p: int, n_o: int) -> int:
+    """Packed length of one FusedSlotOut with n_p pitch / n_o onset frames."""
+    return 3 * n_p * 8 + 8 * n_o
+
+
+def unpack_fused_out(vec: np.ndarray, n_p: int, n_o: int) -> "FusedSlotOut":
+    """Host-side inverse of `pack_fused_out` for a single FusedSlotOut.
+
+    The leaf order/dtypes mirror FusedSlotOut/OnsetChunkOut field order
+    (= jax.tree.leaves order for NamedTuples); test_fused_streaming pins
+    the round trip."""
+    vec = np.asarray(vec, np.float32)
+    off = 0
+
+    def take(n, shape, dtype):
+        nonlocal off
+        part = vec[off:off + n]
+        off += n
+        part = part.reshape(shape)
+        if dtype is bool:
+            return part > 0.5
+        return part.astype(dtype) if dtype is not np.float32 else part
+
+    sf = take(n_p * 8, (n_p, 8), np.float32)
+    ss = take(n_p * 8, (n_p, 8), np.float32)
+    sv = take(n_p * 8, (n_p, 8), bool)
+    onset = OnsetChunkOut(
+        take(n_o, (n_o,), bool), take(n_o, (n_o,), bool),
+        take(n_o, (n_o,), np.float32), take(n_o, (n_o,), np.float32),
+        take(n_o, (n_o,), np.float32), take(n_o, (n_o,), np.int32),
+        take(n_o, (n_o,), bool), take(n_o, (n_o,), np.int32))
+    return FusedSlotOut(sf, ss, sv, onset)
+
+
 class FusedSlotOut(NamedTuple):
-    """Per-slot outputs of `fused_slot_step` (the live engine's fused path).
+    """Per-slot readback of `fused_slot_step` (the live engine's fused path).
 
     Pitch fields are the tracker's stable outputs ([n_p, 8] — all the live
     tuner consumes, ref stft.rs:387-390); `onset` carries the full onset
-    per-frame record ([n_o] each); the tails are the unconsumed ring
-    remainders handed back to the host for the next slot."""
+    per-frame record ([n_o] each).  The ring-buffer tails and the pending
+    flag are NOT here: they stay device-resident across slots (returned as
+    separate carries) so a slot never round-trips them through the host."""
     stable_freqs: jax.Array
     stable_scores: jax.Array
     stable_valid: jax.Array
     onset: OnsetChunkOut
-    p_tail: jax.Array
-    o_tail: jax.Array
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "slot_len", "p_tail_len",
                                    "o_tail_len", "p_window", "p_hop",
                                    "o_window", "o_hop", "pitch_backend",
-                                   "onset_backend"))
-def fused_slot_step(nf_state, tr_state, onset_state, packed,
+                                   "onset_backend", "pack"))
+def fused_slot_step(nf_state, tr_state, onset_state, pending,
+                    p_tail, o_tail, host_vec,
                     sample_rate: float, slot_len: int, p_tail_len: int,
                     o_tail_len: int, p_window: int = PITCH_WINDOW,
                     p_hop: int = PITCH_HOP, o_window: int = ONSET_WINDOW,
                     o_hop: int = ONSET_HOP,
                     pitch_backend: str = PITCH_BACKEND,
-                    onset_backend: str = DEFAULT_BACKEND):
-    """One device program per realtime audio slot: both live flows fused.
+                    onset_backend: str = DEFAULT_BACKEND,
+                    pack: bool = False):
+    """One device program per realtime audio slot: both live flows fused,
+    ring tails and the onset->pitch pending flag carried ON DEVICE.
 
     The reference's realtime engine runs one onset thread and one pitch
     thread per audio callback (ref src/audio_io/mod.rs:657-938); the
     rebuild's per-consumer device steps issue ~17 host<->device round trips
-    per 1024-sample slot (state feeds, two dispatches, per-leaf readbacks —
-    measured in tools/engine_rt_bench.py), which dominates streaming latency
-    on any link slower than PCIe.  This step collapses the slot to ONE
-    upload + ONE dispatch + ONE batched readback: every host-produced input
-    rides in a single packed f32 vector, the ring-buffer tails advance on
-    device, and the onset->pitch in-burst dependency (onset_pending, ref
-    stft.rs:387) is resolved on device from this slot's own `fired` vector.
+    per 1024-sample slot, which dominates streaming latency on any link
+    slower than PCIe (tools/engine_rt_bench.py).  This step reduces the
+    slot's host traffic to ONE small upload (`host_vec`: the raw audio plus
+    a few scalars) and one deferred readback of `FusedSlotOut`: the ring
+    tails, analyzer states, and the pending flag are jit outputs fed back
+    as jit inputs — they never leave the device — so consecutive slots'
+    upload, compute, and readback can overlap (api/engine.py pipelines the
+    readback by `pipeline_depth` slots).
 
-    Packed layout (all f32):
-        [p_tail | o_tail | slot | gf_pitch_lin | gf_onset_lin | pending |
+    `host_vec` layout (all f32):
+        [slot | gf_pitch_lin | gf_onset_lin | calibration_hold |
          tick_suppressed (n_o entries, 0/1)]
     where n_p/n_o = num_frames(tail+slot) are implied by the static lengths.
+
     Semantics are identical to running `onset_analyze_frames` then
     `pitch_analyze_frames` with onsets[0] = pending | any(fired) — the
     engine's sequential consumer order (api/engine.py _input_callback).
-    Only valid post-calibration (calibration_hold is all-False here); the
-    engine falls back to the sequential consumers during calibration.
+    Calibration is folded in as the `calibration_hold` data input (the
+    onset scan's hold vector, ref src/analysis/onset.rs:359-440), so ONE
+    program family serves the whole session including the calibration
+    ramp; while holding, fires do not reach the pitch tracker — matching
+    the sequential path, where pre-calibration events never set the
+    engine's onset_pending flag.
+
+    `pending` carries a fired-but-not-yet-consumed onset flag across slots
+    (ref stft.rs:387's swap): it is only left set by ramp-up slots that
+    produce no pitch frame (n_p == 0); any slot with pitch frames consumes
+    it into frame 0.
     """
-    p_tail = packed[:p_tail_len]
-    o_tail = packed[p_tail_len:p_tail_len + o_tail_len]
-    s0 = p_tail_len + o_tail_len
-    slot = packed[s0:s0 + slot_len]
-    gf_p = packed[s0 + slot_len]
-    gf_o = packed[s0 + slot_len + 1]
-    pending = packed[s0 + slot_len + 2] > 0.5
+    slot = host_vec[:slot_len]
+    gf_p = host_vec[slot_len]
+    gf_o = host_vec[slot_len + 1]
+    hold = host_vec[slot_len + 2] > 0.5
     n_p = num_frames(p_tail_len + slot_len, p_window, p_hop)
     n_o = num_frames(o_tail_len + slot_len, o_window, o_hop)
-    tick_sup = packed[s0 + slot_len + 3:s0 + slot_len + 3 + n_o] > 0.5
+    tick_sup = host_vec[slot_len + 3:slot_len + 3 + n_o] > 0.5
 
     # Onset flow first (engine consumer order: the onset_pending flag set by
     # this slot's fires reaches the pitch tracker in the same burst).
-    o_buf = jnp.concatenate([o_tail, slot])
+    o_buf = jnp.concatenate([o_tail, slot]) if o_tail_len else slot
     fired_any = jnp.asarray(False)
     if n_o:
         o_frames = frame_signal(o_buf[:(n_o - 1) * o_hop + o_window],
                                 o_window, o_hop)
         onset_state, o_out = onset_analyze_frames(
             onset_state, o_frames, jnp.full((n_o,), gf_o, jnp.float32),
-            tick_sup, jnp.zeros((n_o,), bool), o_window, onset_backend)
-        fired_any = o_out.fired.any()
+            tick_sup, jnp.broadcast_to(hold, (n_o,)), o_window, onset_backend)
+        fired_any = o_out.fired.any() & ~hold
     else:                                                 # ramp-up variants
         zf = jnp.zeros((0,), jnp.float32)
         zb = jnp.zeros((0,), bool)
@@ -291,7 +375,7 @@ def fused_slot_step(nf_state, tr_state, onset_state, packed,
         o_out = OnsetChunkOut(zb, zb, zf, zf, zf, zi, zb, zi)
     o_new_tail = o_buf[n_o * o_hop:]
 
-    p_buf = jnp.concatenate([p_tail, slot])
+    p_buf = jnp.concatenate([p_tail, slot]) if p_tail_len else slot
     if n_p:
         p_frames = frame_signal(p_buf[:(n_p - 1) * p_hop + p_window],
                                 p_window, p_hop)
@@ -300,13 +384,139 @@ def fused_slot_step(nf_state, tr_state, onset_state, packed,
             nf_state, tr_state, p_frames, jnp.full((n_p,), gf_p, jnp.float32),
             onsets, sample_rate, p_window, p_hop, pitch_backend)
         sf, ss, sv = pout.stable_freqs, pout.stable_scores, pout.stable_valid
+        pending = jnp.asarray(False)
     else:
         sf = jnp.zeros((0, 8), jnp.float32)
         ss = jnp.zeros((0, 8), jnp.float32)
         sv = jnp.zeros((0, 8), bool)
+        pending = pending | fired_any
     p_new_tail = p_buf[n_p * p_hop:]
-    return nf_state, tr_state, onset_state, FusedSlotOut(
-        sf, ss, sv, o_out, p_new_tail, o_new_tail)
+    out = FusedSlotOut(sf, ss, sv, o_out)
+    return (nf_state, tr_state, onset_state, pending, p_new_tail, o_new_tail,
+            pack_fused_out(out) if pack else out)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "n_slots",
+                                   "p_tail_len", "o_tail_len", "p_window",
+                                   "p_hop", "o_window", "o_hop",
+                                   "pitch_backend", "onset_backend", "pack"))
+def fused_slot_agg_step(nf_state, tr_state, onset_state, pending,
+                        p_tail, o_tail, host_vec,
+                        sample_rate: float, slot_len: int, n_slots: int,
+                        p_tail_len: int, o_tail_len: int,
+                        p_window: int = PITCH_WINDOW,
+                        p_hop: int = PITCH_HOP, o_window: int = ONSET_WINDOW,
+                        o_hop: int = ONSET_HOP,
+                        pitch_backend: str = PITCH_BACKEND,
+                        onset_backend: str = DEFAULT_BACKEND,
+                        pack: bool = False):
+    """`n_slots` consecutive realtime slots chained in ONE device program.
+
+    On a high-latency host<->device link every PJRT call blocks ~one round
+    trip, so a per-slot dispatch can never beat a 21.3 ms slot budget
+    through a ~27 ms-RTT tunnel no matter how the copies overlap (measured,
+    tools/engine_rt_bench.py).  Aggregating A slots amortizes the ~2-3
+    blocking round trips per dispatch over A slots of audio; results
+    surface up to A slots (~A*21 ms) later — a latency constant the
+    reference's poll-based consumer surfaces already absorb (ref
+    src/lib.rs:80-82; its UI reads asynchronously and every event is
+    latency-compensated at stamp time).
+
+    `host_vec` is the concatenation of the A per-slot `fused_slot_step`
+    host vectors (each `[slot | gf_p | gf_o | hold | tick_sup(n_o)]`, with
+    the per-slot gf/hold/tick values sampled by the host at THAT slot's
+    callback — so per-slot AGC coupling is preserved exactly).  The body
+    unrolls the single-slot step A times at trace time, chaining states,
+    ring tails, and the onset->pitch pending flag on device; per-sub-slot
+    tail lengths advance statically from (p_tail_len, o_tail_len).
+    Returns the carries plus a TUPLE of A per-slot `FusedSlotOut`s — one
+    deferred readback covers all A slots.  Semantics are those of A calls
+    of `fused_slot_step`: the same traced ops in the same order, isolated
+    per sub-step by optimization barriers.  Measured contract
+    (tests/test_fused_streaming.py): all outputs (events, tracked pitches)
+    and carries bit-equal to A separate dispatches EXCEPT the noise-floor
+    IIR leaves (floor, volatility), which may carry ulp-relative (~1e-7)
+    FMA-contraction drift — XLA may contract the EMA mul-adds differently
+    in the chained module, the precision-only divergence class proven in
+    tests/test_divergence_proof.py; self-limiting via the EMAs'
+    forgetting."""
+    outs = []
+    off = 0
+    p_len, o_len = p_tail_len, o_tail_len
+    for _ in range(n_slots):
+        n_p = num_frames(p_len + slot_len, p_window, p_hop)
+        n_o = num_frames(o_len + slot_len, o_window, o_hop)
+        # Barriers isolate each sub-step: without them XLA fuses across
+        # the slot boundary (and into the host_vec slice) and may
+        # re-contract FMAs differently than the compiled single-slot
+        # program, leaving last-ulp drift in the floor state (observed on
+        # CPU in the volatility EMA).  With them each sub-step compiles as
+        # the same isolated unit the per-slot path runs — carries stay
+        # bit-equal to A separate dispatches.
+        sub = jax.lax.optimization_barrier(
+            host_vec[off:off + slot_len + 3 + n_o])
+        (nf_state, tr_state, onset_state, pending, p_tail, o_tail,
+         out) = fused_slot_step(
+            nf_state, tr_state, onset_state, pending, p_tail, o_tail, sub,
+            sample_rate, slot_len, p_len, o_len, p_window, p_hop,
+            o_window, o_hop, pitch_backend, onset_backend)
+        (nf_state, tr_state, onset_state, pending, p_tail,
+         o_tail) = jax.lax.optimization_barrier(
+            (nf_state, tr_state, onset_state, pending, p_tail, o_tail))
+        outs.append(out)
+        off += slot_len + 3 + n_o
+        p_len = p_len + slot_len - n_p * p_hop
+        o_len = o_len + slot_len - n_o * o_hop
+    return (nf_state, tr_state, onset_state, pending, p_tail, o_tail,
+            pack_fused_out(tuple(outs)) if pack else tuple(outs))
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "p_tail_len",
+                                   "o_tail_len", "p_window", "p_hop",
+                                   "o_window", "o_hop", "pitch_backend",
+                                   "onset_backend"))
+def fused_slot_pool_step(states, host_vecs,
+                         sample_rate: float, slot_len: int, p_tail_len: int,
+                         o_tail_len: int, p_window: int = PITCH_WINDOW,
+                         p_hop: int = PITCH_HOP, o_window: int = ONSET_WINDOW,
+                         o_hop: int = ONSET_HOP,
+                         pitch_backend: str = PITCH_BACKEND,
+                         onset_backend: str = DEFAULT_BACKEND):
+    """One device program per slot WAVE: K live engines' fused slot steps
+    batched (api/pool.EnginePool — the classroom scenario).
+
+    `states` is a tuple over engines of the per-engine fused carries
+    `(nf_state, tr_state, onset_state, pending, p_tail, o_tail)`;
+    `host_vecs` is the [K, L] stack of the engines' `fused_slot_step`
+    host vectors.  Inside the program the per-engine carries stack to a
+    leading K axis, the single-engine step runs under `jax.vmap` (one
+    MXU-batched program instead of K sequential dispatches), and the
+    carries unstack back to per-engine pytrees — so between waves every
+    engine still owns its own device arrays: an engine can leave the pool,
+    checkpoint, or fall back to its single-engine path at any wave
+    boundary with no repacking.  Outputs stay stacked ([K, ...]) for one
+    deferred readback per wave.
+
+    Per-engine semantics are EXACTLY `fused_slot_step`'s (vmap over
+    independent rows; calibration hold is per-engine data in the host
+    vector).  The reference can run one engine per process
+    (ref src/audio_io/mod.rs:960-1129); this is the TPU rebuild's
+    qualitative win — K sessions per chip in one dispatch."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    nf, tr, os_, pend, pt, ot = stacked
+
+    def one(nf, tr, os_, pend, pt, ot, hv):
+        return fused_slot_step(nf, tr, os_, pend, pt, ot, hv,
+                               sample_rate, slot_len, p_tail_len, o_tail_len,
+                               p_window, p_hop, o_window, o_hop,
+                               pitch_backend, onset_backend)
+
+    nf, tr, os_, pend, pt, ot, out = jax.vmap(one)(
+        nf, tr, os_, pend, pt, ot, host_vecs)
+    new_states = tuple(
+        jax.tree.map(lambda x: x[k], (nf, tr, os_, pend, pt, ot))
+        for k in range(len(states)))
+    return new_states, out
 
 
 @dataclass

@@ -319,7 +319,8 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
                              backend: str = PITCH_BACKEND,
                              global_floor_db: float = -96.0,
                              mesh=None, device_audio=None,
-                             transfer: str = "auto"):
+                             transfer: str = "auto",
+                             warmup_mode: str = "full"):
     """Analyze one long mono buffer with S parallel segments.
 
     Returns (stable_freqs [N,8], stable_scores [N,8], stable_valid [N,8])
@@ -342,6 +343,13 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
     "auto" (default) picks by the measured crossover: pipelined for a
     standalone analysis of >= AUTO_PIPELINED_MIN_SECONDS of audio,
     resident otherwise.  Results are identical.
+
+    `warmup_mode`: "full" (default) runs the complete pipeline on every
+    discarded look-back frame; "floor" seeds the floor IIR with a
+    comb-free STFT+floor pass and re-warms only the tracker on the last
+    TRACKER_REWARM_FRAMES look-back frames — reclaiming most of the ~5%
+    discarded-warmup compute (see _segmented_pitch_floor_warmup; gated on
+    measured frame agreement, resident transfer only).
     """
     audio = _as_host_audio(audio)
     transfer = _resolve_transfer(transfer, "pitch", len(audio), sample_rate,
@@ -352,6 +360,14 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
         return z, z.copy(), np.zeros((0, 8), bool)
     if segments is None:
         segments = auto_segments(n_total, warmup_frames)
+    if warmup_mode not in ("full", "floor"):
+        raise ValueError(f"warmup_mode={warmup_mode!r}: expected 'full' or "
+                         "'floor'")
+    if warmup_mode == "floor":
+        return _segmented_pitch_floor_warmup(
+            audio, sample_rate, segments, warmup_frames, chunk_frames,
+            window, hop, backend, global_floor_db, mesh, device_audio,
+            n_total)
 
     # Stream geometry (see _StreamPlan; the module docstring covers the GEMM
     # backend's geometry-rounding caveat for segment 0's exact prefix).
@@ -432,6 +448,156 @@ def segmented_pitch_analysis(audio: np.ndarray, sample_rate: float,
         out_freqs[pay_lo:pay_hi] = sf[s, src:src + (pay_hi - pay_lo)]
         out_scores[pay_lo:pay_hi] = ss[s, src:src + (pay_hi - pay_lo)]
         out_valid[pay_lo:pay_hi] = sv[s, src:src + (pay_hi - pay_lo)]
+    return out_freqs, out_scores, out_valid
+
+
+# Tracker re-warmup length for warmup_mode="floor": fresh tracker state
+# converges to the sequential tracker's within ~30 frames (the freq/score
+# EMAs forget at 0.6/frame -> 0.6^32 ~ 8e-8 relative; hysteresis absorbs
+# the residual).  The floor IIR — the slow one (~50-frame release) — is
+# seeded EXACTLY by running the real floor recurrence over the full
+# look-back in phase 1, so only the tracker needs these full-pipeline
+# frames.
+TRACKER_REWARM_FRAMES = 32
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "window", "hop",
+                                   "backend"))
+def _vmapped_floor_warmup(nf_states, warm_streams, global_floor,
+                          sample_rate: float, window: int, hop: int,
+                          backend: str):
+    """Phase 1 of warmup_mode='floor': per-segment STFT + floor scan over
+    the look-back frames, comb/tracker skipped (analyzer.floor_warmup_frames
+    under vmap)."""
+    from .analyzer import floor_warmup_frames
+    warm_streams = _chunks_to_f32(warm_streams)
+
+    def one(nf, audio, gf):
+        frames = frame_signal(audio, window, hop)
+        return floor_warmup_frames(nf, frames, gf, sample_rate, window,
+                                   backend)
+    return jax.vmap(one)(nf_states, warm_streams, global_floor)
+
+
+def _segmented_pitch_floor_warmup(audio, sample_rate, segments,
+                                  warmup_frames, chunk_frames, window, hop,
+                                  backend, global_floor_db, mesh,
+                                  device_audio, n_total):
+    """`segmented_pitch_analysis(warmup_mode="floor")`: two-phase warmup
+    that skips the comb on most look-back frames.
+
+    In "full" mode every segment's `warmup_frames` look-back runs the FULL
+    pipeline and discards the outputs — but the comb/top-K stages are ~70%
+    of the step cost (docs/PERFORMANCE.md step-ablation) and only the
+    floor IIR state is actually needed from the look-back.  Here:
+
+      phase 1: the first `warmup_frames - TRACKER_REWARM_FRAMES` look-back
+               frames run STFT + floor scan ONLY (floor state seeded by
+               the REAL recurrence — not an estimate — so the slow IIR is
+               converged the same way "full" converges it);
+      phase 2: the remaining TRACKER_REWARM_FRAMES look-back frames plus
+               the payload run the full pipeline with a fresh tracker
+               (its EMAs forget at 0.6/frame, so 32 frames re-converge it).
+
+    Stream geometry: every segment owns `payload2 = ceil-to-alignment`
+    frames, with payload2 + TRACKER_REWARM_FRAMES an exact chunk multiple
+    so phase 2 wastes zero overshoot frames; segment 0 (no look-back, by
+    construction exact) starts its stream at frame 0 and owns the stream
+    head.  Resident-transfer only (the pipelined feeder would need its own
+    two-phase block schedule; pass transfer="resident"/"auto").
+
+    Agreement vs "full": not bit-identical (phase 1 is a different XLA
+    module, so FMA-contraction ulp drift of the divergence-proof class
+    applies to the seeded floor state) — gated instead on measured frame
+    agreement (tools/agreement_1h.py --warmup-mode floor;
+    tests/test_segmented.py has the short-scene gate)."""
+    tw = TRACKER_REWARM_FRAMES
+    base = -(-n_total // segments)
+    payload2 = -(-(base + tw) // chunk_frames) * chunk_frames - tw
+    if payload2 < warmup_frames or segments == 1:
+        # Segments too short for a full look-back (or nothing to warm):
+        # the plain path's overhead is small exactly when this happens.
+        return segmented_pitch_analysis(
+            audio, sample_rate, segments, warmup_frames, chunk_frames,
+            window, hop, backend, global_floor_db, mesh, device_audio,
+            transfer="resident", warmup_mode="full")
+    steps2 = (tw + payload2) // chunk_frames
+    wf = warmup_frames - tw
+    starts = np.array([0] + [s * payload2 - tw
+                             for s in range(1, segments)])
+    warm_starts = np.array([0] + [s * payload2 - warmup_frames
+                                  for s in range(1, segments)])
+    chunk_samples = (chunk_frames - 1) * hop + window
+    stream_samples = (steps2 * chunk_frames - 1) * hop + window
+    warm_samples = (wf - 1) * hop + window
+    max_sample = int(starts.max()) * hop + stream_samples
+
+    half = window // 2 + 1
+    gf_lin = float(np.asarray(
+        noisefloor.global_floor_linear(global_floor_db, half)))
+
+    def rep(state):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (segments,) + a.shape), state)
+    nf_init = noisefloor.init_state(half)
+    nf_states = rep(nf_init)
+    tr_states = rep(tracker.init_state())
+
+    if device_audio is not None:
+        audio_dev = jnp.pad(device_audio,
+                            (0, max(0, max_sample - len(audio))))
+    else:
+        audio_dev = _upload_f32(
+            np.pad(audio, (0, max(0, max_sample - len(audio)))))
+
+    gf_warm = jnp.full((segments, wf), gf_lin, jnp.float32)
+    gf = jnp.full((segments, chunk_frames), gf_lin, jnp.float32)
+    onsets = jnp.zeros((segments, chunk_frames), bool)
+    warm_streams = _slice_streams(
+        audio_dev, jnp.asarray(warm_starts * hop, jnp.int32), warm_samples)
+    seg_streams = _slice_streams(
+        audio_dev, jnp.asarray(starts * hop, jnp.int32), stream_samples)
+    if mesh is not None:
+        (nf_states, tr_states, gf_warm, gf, onsets, warm_streams,
+         seg_streams) = _shard_batch(
+            (nf_states, tr_states, gf_warm, gf, onsets, warm_streams,
+             seg_streams), mesh)
+
+    # Phase 1: comb-free floor seeding; segment 0's row ran on junk (its
+    # stream has no look-back) — reset it to the fresh init state.
+    nf_states = _vmapped_floor_warmup(nf_states, warm_streams, gf_warm,
+                                      sample_rate, window, hop, backend)
+    nf_states = jax.tree.map(lambda a, i: a.at[0].set(i), nf_states,
+                             nf_init)
+
+    # Phase 2: the full pipeline — the SAME [S, chunk] program "full" mode
+    # compiles (cache hit), over tw + payload2 frames per segment.
+    step_outs = []
+    for step in range(steps2):
+        nf_states, tr_states, out = _vmapped_step_resident(
+            nf_states, tr_states, seg_streams,
+            jnp.asarray(step * chunk_frames * hop, jnp.int32), gf,
+            onsets, chunk_samples, sample_rate, window, hop, backend)
+        step_outs.append(out)
+    sf = np.asarray(jnp.stack([o.stable_freqs for o in step_outs], 1))
+    ss = np.asarray(jnp.stack([o.stable_scores for o in step_outs], 1))
+    sv = np.asarray(jnp.stack([o.stable_valid for o in step_outs], 1))
+    sf = sf.reshape(segments, steps2 * chunk_frames, 8)
+    ss = ss.reshape(segments, steps2 * chunk_frames, 8)
+    sv = sv.reshape(segments, steps2 * chunk_frames, 8)
+
+    out_freqs = np.zeros((n_total, 8), np.float32)
+    out_scores = np.zeros((n_total, 8), np.float32)
+    out_valid = np.zeros((n_total, 8), bool)
+    for s in range(segments):
+        lo = s * payload2
+        hi = min(lo + payload2, n_total)
+        if lo >= hi:
+            continue
+        src = 0 if s == 0 else tw
+        out_freqs[lo:hi] = sf[s, src:src + (hi - lo)]
+        out_scores[lo:hi] = ss[s, src:src + (hi - lo)]
+        out_valid[lo:hi] = sv[s, src:src + (hi - lo)]
     return out_freqs, out_scores, out_valid
 
 

@@ -132,8 +132,22 @@ def noise_floor_scan(state: NoiseFloorState, mags: jax.Array,
 
 
 def global_floor_linear(noise_floor_db, half_size: int):
-    """ref stft.rs:322-324."""
-    return 10.0 ** (jnp.asarray(noise_floor_db, jnp.float32) / 20.0) * (half_size / 2.0)
+    """ref stft.rs:322-324.
+
+    Host values compute in numpy float32 on purpose: the live engine
+    evaluates this once per flow per 21 ms slot, and an eager-jnp scalar
+    chain (asarray → div → pow → mul → float()) costs several device
+    round trips per call — ~50 ms/slot through this environment's
+    tunneled link, dominating the entire streaming wall
+    (tools/engine_rt_bench.py).  Traced inputs (the batched full step
+    computes per-frame causal floors on device, parallel/sharding.py)
+    keep the jnp form."""
+    if isinstance(noise_floor_db, jax.Array):
+        return (10.0 ** (jnp.asarray(noise_floor_db, jnp.float32) / 20.0)
+                * (half_size / 2.0))
+    return np.float32(
+        np.float32(10.0) ** (np.float32(noise_floor_db) / np.float32(20.0))
+        * np.float32(half_size / 2.0))
 
 
 # ── NumPy oracle (direct transcription of the Rust loop) ─────────────────

@@ -148,6 +148,43 @@ class MusicalTransport:
                 velocity=velocity,
             )
 
+    def anchor(self) -> dict:
+        """Freeze every stamping-relevant clock field at THIS instant.
+
+        The fused streaming path defers host-side event stamping by
+        `pipeline_depth` slots (api/engine.py); stamping against the anchor
+        captured at consume time makes deferred posts bit-identical to
+        synchronous ones — including `raw_sample_offset` and under BPM
+        changes or transport pauses between consume and post (the reference
+        stamps from free-running threads, ref timing.rs:311-337; the anchor
+        is the deterministic twin of 'the clock as the thread saw it')."""
+        with self._lock:
+            return {"bpm": self._bpm,
+                    "beats": self._accumulated_beats,
+                    "output_frames": self.output_frames,
+                    "input_frames": self.input_frames,
+                    "input_lat": self._input_latency_samples,
+                    "output_lat": self._output_latency_samples,
+                    "calibration": self._calibration_offset_samples}
+
+    def stamp_onset_anchored(self, anchor: dict, sample_offset: int,
+                             velocity: float) -> OnsetEvent:
+        """`stamp_onset` math against a frozen `anchor()` snapshot."""
+        beats_per_sample = anchor["bpm"] / (60.0 * self._sample_rate)
+        latency_beats = ((anchor["input_lat"] + anchor["output_lat"])
+                         * beats_per_sample)
+        offset_beats = sample_offset * beats_per_sample
+        calibration_beats = anchor["calibration"] * beats_per_sample
+        return OnsetEvent(
+            beat_position=(anchor["beats"] - latency_beats + offset_beats
+                           - calibration_beats),
+            raw_sample_offset=sample_offset,
+            output_samples=(anchor["output_frames"] - anchor["input_lat"]
+                            - anchor["output_lat"] + sample_offset
+                            - anchor["calibration"]),
+            velocity=velocity,
+        )
+
     def calibrated_beat(self, beat_position: float) -> float:
         with self._lock:
             beats_per_sample = self._bpm / (60.0 * self._sample_rate)

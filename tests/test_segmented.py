@@ -219,6 +219,38 @@ def test_pipelined_transfer_matches_resident_on_mesh():
         np.testing.assert_array_equal(a, b)
 
 
+def test_floor_warmup_mode_matches_full():
+    """warmup_mode="floor" (comb-free floor seeding + 32-frame tracker
+    re-warmup, models/segmented._segmented_pitch_floor_warmup) must agree
+    with "full" warmup frame-for-frame on a mixed scene — the in-suite
+    gate for the experiment (the 1 h gate is
+    tools/agreement_1h.py --warmup-mode floor)."""
+    x = gen.mixed_scene(90.0, SR, seed=5)
+    n = num_frames(len(x), 2048, 512)
+    kw = dict(segments=8, chunk_frames=64, warmup_frames=128)
+    f1, s1, v1 = segmented_pitch_analysis(x, SR, transfer="resident", **kw)
+    f2, s2, v2 = segmented_pitch_analysis(x, SR, warmup_mode="floor", **kw)
+    assert f2.shape == (n, 8)
+    agree = sum(
+        sorted(np.round(f1[i][v1[i]], 1)) == sorted(np.round(f2[i][v2[i]], 1))
+        for i in range(n))
+    assert agree == n, f"only {agree}/{n} frames agree"
+    # Segment 0 has no look-back in either mode: exact prefix.
+    first = min(n, 128 + 64)
+    np.testing.assert_array_equal(f1[:first], f2[:first])
+
+
+def test_floor_warmup_short_audio_falls_back():
+    """Segments too short for a full look-back fall back to "full" mode
+    (and a single segment has nothing to warm)."""
+    x = melody(4.0)
+    n = num_frames(len(x), 2048, 512)
+    f1, s1, v1 = segmented_pitch_analysis(x, SR, transfer="resident")
+    f2, s2, v2 = segmented_pitch_analysis(x, SR, warmup_mode="floor")
+    assert f2.shape == (n, 8)
+    np.testing.assert_array_equal(f1, f2)
+
+
 def test_resolve_transfer_auto_policy():
     """transfer="auto" follows the measured e2e crossover: pipelined only
     for a standalone pitch analysis of >= AUTO_PIPELINED_MIN_SECONDS;

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (small --minutes advised)")
     ap.add_argument("--sample-rate", type=float, default=44100.0)
+    ap.add_argument("--warmup-mode", default="full",
+                    choices=("full", "floor"),
+                    help="segmented pitch warmup mode (the 'floor' "
+                         "experiment skips the comb on most look-back "
+                         "frames; this tool is its agreement gate)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -61,7 +66,8 @@ def main():
     # ── pitch ───────────────────────────────────────────────────────────
     n_p = num_frames(len(x), 2048, 512)
     t0 = time.time()
-    sf, ss, sv = segmented_pitch_analysis(x, sr)
+    sf, ss, sv = segmented_pitch_analysis(x, sr,
+                                          warmup_mode=args.warmup_mode)
     t_seg = time.time() - t0
     t0 = time.time()
     seq = PitchAnalyzer(sr).process(x)
@@ -101,6 +107,7 @@ def main():
 
     print(json.dumps({
         "minutes": args.minutes, "seed": args.seed,
+        "warmup_mode": args.warmup_mode,
         "pitch_frames": n_p, "pitch_agreement_pct": round(pitch_pct, 3),
         "onset_frames": n_o, "onset_agreement_pct": round(onset_pct, 4),
         "onset_count_seq": len(seq_idx), "onset_count_seg": len(seg_idx),

@@ -56,6 +56,23 @@ def main():
     ap.add_argument("--sequential", action="store_true",
                     help="disable the fused per-slot program (A/B: the "
                          "per-consumer path with its ~17 round trips/slot)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="pipeline_depth for the fused path: defer each "
+                         "slot's readback by N slots so consecutive slots' "
+                         "upload/compute/readback overlap (0 = synchronous)")
+    ap.add_argument("--aggregate", type=int, default=1,
+                    help="aggregate_slots: chain N slots into one dispatch "
+                         "(amortizes the link round trips; results surface "
+                         "<=N slots later)")
+    ap.add_argument("--paced", type=float, default=0.0,
+                    help="after the timed run, run_realtime() this many "
+                         "seconds and report the wall/virtual ratio "
+                         "(sustained realtime <=> ratio ~ 1.0)")
+    ap.add_argument("--ab", action="store_true",
+                    help="after the timed run, replay a short scene through "
+                         "the fused AND the sequential path ON THIS BACKEND "
+                         "and compare polled outputs exactly (catches "
+                         "device-only divergence between the two programs)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +103,8 @@ def main():
     engine = AudioEngine(input_source=ArraySource(scene), sample_rate=sr)
     if args.sequential:
         engine.fused_streaming = False
+    engine.pipeline_depth = max(args.depth, 0)
+    engine.aggregate_slots = max(args.aggregate, 1)
     tuner = engine.start_tuner()
     onset = engine.start_onset_detection()
 
@@ -112,12 +131,24 @@ def main():
             labels.add(lbl)
     wall_all = time.perf_counter() - t_all0
     med = pct(per_slot, 0.50)
-    log(f"e2e: {n_slots} slots in {wall_all:.2f}s -> median "
-        f"{med:.2f} ms/slot (p90 {pct(per_slot, 0.90):.2f}, "
+    mean = wall_all / n_slots * 1000.0
+    log(f"e2e: {n_slots} slots in {wall_all:.2f}s -> mean {mean:.2f} / "
+        f"median {med:.2f} ms/slot (p90 {pct(per_slot, 0.90):.2f}, "
         f"p99 {pct(per_slot, 0.99):.2f}; realtime budget {slot_ms:.2f} ms)")
     # The flows must actually have produced output.
     log(f"tuner labels seen: {sorted(labels)[:8]}; onsets drained: "
         f"{onsets_seen}; fused slots: {engine._fused_slots}/{n_slots}")
+
+    # ── 1b. paced run: does the engine keep up with the wall clock? ──────
+    paced_ratio = None
+    if args.paced > 0:
+        t0 = time.perf_counter()
+        engine.run_realtime(args.paced)
+        paced_wall = time.perf_counter() - t0
+        paced_ratio = paced_wall / args.paced
+        log(f"paced: {args.paced:.0f}s of stream in {paced_wall:.2f}s "
+            f"wall (ratio {paced_ratio:.3f}; sustained realtime needs "
+            f"~1.0)")
 
     # ── 2. tunnel RPC round-trip (dispatch + tiny readback) ──────────────
     one = jnp.zeros((8,), jnp.float32)
@@ -181,8 +212,9 @@ def main():
     onset_ms = device_step_ms(onset_step)
 
     # 3b. the fused per-slot program — what the engine actually dispatches
-    # every slot post-calibration (models/analyzer.fused_slot_step): both
-    # flows + on-device ring advance in ONE program.
+    # every slot (models/analyzer.fused_slot_step): both flows + on-device
+    # ring-tail/pending carries in ONE program, host sends only the raw
+    # slot + scalars.
     from audio_analyzer_rs_tpu.models.analyzer import fused_slot_step
     from audio_analyzer_rs_tpu.utils.framing import num_frames as _nf
     # Steady-state ring tails for 1024-sample slots: pitch 1536 (window -
@@ -193,16 +225,19 @@ def main():
     nff = noisefloor.init_state(PITCH_WINDOW // 2 + 1)
     trf = tracker.init_state()
     ostf = onset_ops.init_state(ONSET_WINDOW // 2 + 1)
-    packed = jnp.asarray(np.concatenate([
-        scene[:p_tail_len], scene[:o_tail_len], scene[:slot],
-        np.asarray([1e-3, 1e-3, 0.0], np.float32),
+    pend0 = jnp.asarray(False)
+    p_tl0 = jnp.asarray(scene[:p_tail_len].astype(np.float32))
+    o_tl0 = jnp.asarray(scene[:o_tail_len].astype(np.float32))
+    host_vec = jnp.asarray(np.concatenate([
+        scene[:slot], np.asarray([1e-3, 1e-3, 0.0], np.float32),
         np.zeros(n_o, np.float32)]).astype(np.float32))
 
     def fused_step():
-        s = state.setdefault("f", (nff, trf, ostf))
-        a, b, c, out = fused_slot_step(s[0], s[1], s[2], packed, sr, slot,
-                                       p_tail_len, o_tail_len)
-        state["f"] = (a, b, c)
+        s = state.setdefault("f", (nff, trf, ostf, pend0, p_tl0, o_tl0))
+        a, b, c, pd, pt, ot, out = fused_slot_step(
+            s[0], s[1], s[2], s[3], s[4], s[5], host_vec, sr, slot,
+            p_tail_len, o_tail_len)
+        state["f"] = (a, b, c, pd, pt, ot)
         return (out.stable_freqs, out.onset.fired)
     fused_step(); state.pop("f")        # compile
     fused_ms = device_step_ms(fused_step)
@@ -211,22 +246,60 @@ def main():
     log(f"device steps: pitch {pitch_ms:.3f} ms + onset {onset_ms:.3f} ms "
         f"= {device_ms:.3f} ms/slot separate; fused {fused_ms:.3f} ms/slot")
 
-    print(json.dumps({
+    # ── 4. optional on-device A/B: fused vs sequential, polled outputs ────
+    # (advisor r3: the bit-exactness tests run on CPU only; XLA may schedule
+    # the fused program differently on TPU, so compare ON THIS BACKEND.)
+    ab_match = None
+    if args.ab:
+        def replay(fused: bool, depth: int):
+            sc = gen.mixed_scene(3.5, sr, seed=11)
+            e = AudioEngine(input_source=ArraySource(sc), sample_rate=sr,
+                            loopback_latency_samples=2048, loopback_gain=1.0)
+            e.fused_streaming = fused
+            e.pipeline_depth = depth
+            tun = e.start_tuner()
+            ons = e.start_onset_detection()
+            slot_s = e.buffer_size / sr
+            outs = []
+            for _ in range(int(3.0 / slot_s)):
+                e.advance(slot_s)
+                e.flush_analysis()  # surface deferred results for per-slot
+                outs.append((tun.poll_output(), ons.poll_onsets()))
+            return outs
+        a = replay(True, max(args.depth, 0))
+        b = replay(False, 0)
+        ab_match = a == b
+        n_bad = sum(1 for x, y in zip(a, b) if x != y)
+        log(f"A/B fused-vs-sequential on {jax.devices()[0].platform}: "
+            f"{'MATCH' if ab_match else f'MISMATCH ({n_bad} slots differ)'}")
+
+    out = {
         "slot_ms": round(slot_ms, 3),
-        "e2e_ms_per_slot": {"median": round(med, 3),
+        "e2e_ms_per_slot": {"mean": round(mean, 3),
+                            "median": round(med, 3),
                             "p90": round(pct(per_slot, 0.90), 3),
                             "p99": round(pct(per_slot, 0.99), 3)},
-        "xrt_e2e": round(slot_ms / med, 2),
+        "xrt_e2e": round(slot_ms / mean, 2),
+        "pipeline_depth": engine.pipeline_depth,
+        "aggregate_slots": engine.aggregate_slots,
         "rpc_rtt_ms": round(rtt, 3),
         "device_ms_per_slot": {"pitch": round(pitch_ms, 3),
                                "onset": round(onset_ms, 3),
                                "separate_total": round(device_ms, 3),
                                "fused": round(fused_ms, 3)},
-        "xrt_device": round(slot_ms / fused_ms, 1),
+        # r3 shipped this ratio under "xrt_device" computed from the fused
+        # program; keep both bases under unambiguous names (advisor r3).
+        "xrt_device_fused": round(slot_ms / fused_ms, 1),
+        "xrt_device_separate": round(slot_ms / device_ms, 1),
         "backend": str(jax.devices()[0]),
         "n_slots": n_slots,
         "fused_slots": engine._fused_slots,
-    }))
+    }
+    if paced_ratio is not None:
+        out["paced_wall_over_virtual"] = round(paced_ratio, 3)
+    if ab_match is not None:
+        out["ab_match"] = ab_match
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
