@@ -30,6 +30,9 @@ def __getattr__(name):
     if name == "AudioEngine":
         from .api.engine import AudioEngine
         return AudioEngine
+    if name == "EnginePool":
+        from .api.pool import EnginePool
+        return EnginePool
     if name in ("analyze_buffer", "analyze_buffer_segmented",
                 "AnalysisResult", "AnalysisArrays", "FrameFeatures"):
         from . import analysis

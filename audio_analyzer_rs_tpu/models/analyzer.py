@@ -471,52 +471,103 @@ def fused_slot_agg_step(nf_state, tr_state, onset_state, pending,
             pack_fused_out(tuple(outs)) if pack else tuple(outs))
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "p_tail_len",
-                                   "o_tail_len", "p_window", "p_hop",
-                                   "o_window", "o_hop", "pitch_backend",
-                                   "onset_backend"))
+@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "n_slots",
+                                   "p_tail_len", "o_tail_len", "p_window",
+                                   "p_hop", "o_window", "o_hop",
+                                   "pitch_backend", "onset_backend", "pack"))
 def fused_slot_pool_step(states, host_vecs,
-                         sample_rate: float, slot_len: int, p_tail_len: int,
-                         o_tail_len: int, p_window: int = PITCH_WINDOW,
+                         sample_rate: float, slot_len: int, n_slots: int,
+                         p_tail_len: int, o_tail_len: int,
+                         p_window: int = PITCH_WINDOW,
                          p_hop: int = PITCH_HOP, o_window: int = ONSET_WINDOW,
                          o_hop: int = ONSET_HOP,
                          pitch_backend: str = PITCH_BACKEND,
-                         onset_backend: str = DEFAULT_BACKEND):
+                         onset_backend: str = DEFAULT_BACKEND,
+                         pack: bool = False):
     """One device program per slot WAVE: K live engines' fused slot steps
     batched (api/pool.EnginePool — the classroom scenario).
 
     `states` is a tuple over engines of the per-engine fused carries
     `(nf_state, tr_state, onset_state, pending, p_tail, o_tail)`;
-    `host_vecs` is the [K, L] stack of the engines' `fused_slot_step`
-    host vectors.  Inside the program the per-engine carries stack to a
-    leading K axis, the single-engine step runs under `jax.vmap` (one
-    MXU-batched program instead of K sequential dispatches), and the
-    carries unstack back to per-engine pytrees — so between waves every
-    engine still owns its own device arrays: an engine can leave the pool,
-    checkpoint, or fall back to its single-engine path at any wave
-    boundary with no repacking.  Outputs stay stacked ([K, ...]) for one
-    deferred readback per wave.
+    `host_vecs` is the [K, L] stack of the engines' host vectors — for
+    `n_slots` > 1 each row is the concatenation of that engine's
+    `n_slots` consecutive per-slot `fused_slot_step` host vectors (the
+    `fused_slot_agg_step` layout), so one dispatch covers an
+    aggregate-of-waves: K engines x A slots of audio with ~2 blocking
+    link round trips total.  Inside the program the per-engine carries
+    stack to a leading K axis, the (chained) single-engine step runs
+    under `jax.vmap` (one MXU-batched program instead of K sequential
+    dispatches), and the carries unstack back to per-engine pytrees — so
+    between waves every engine still owns its own device arrays: an
+    engine can leave the pool, checkpoint, or fall back to its
+    single-engine path at any wave boundary with no repacking.  Outputs
+    stay stacked over K ([n_slots tuple][K, ...]) for one deferred
+    readback per dispatch (`pack=True`: ONE f32 vector, host-unpacked by
+    `unpack_fused_pool_out`).
 
-    Per-engine semantics are EXACTLY `fused_slot_step`'s (vmap over
+    Per-engine semantics are EXACTLY `fused_slot_agg_step`'s (vmap over
     independent rows; calibration hold is per-engine data in the host
-    vector).  The reference can run one engine per process
-    (ref src/audio_io/mod.rs:960-1129); this is the TPU rebuild's
-    qualitative win — K sessions per chip in one dispatch."""
+    vector), with the same numeric contract: consumer-visible outputs
+    bit-equal to per-engine dispatches, noise-floor IIR leaves allowed
+    ulp-relative FMA-contraction drift (the batched module may contract
+    the EMA mul-adds differently — tests/test_pool.py).  The reference
+    can run one engine per process (ref src/audio_io/mod.rs:960-1129);
+    this is the TPU rebuild's qualitative win — K sessions per chip in
+    one dispatch."""
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
     nf, tr, os_, pend, pt, ot = stacked
 
     def one(nf, tr, os_, pend, pt, ot, hv):
-        return fused_slot_step(nf, tr, os_, pend, pt, ot, hv,
-                               sample_rate, slot_len, p_tail_len, o_tail_len,
-                               p_window, p_hop, o_window, o_hop,
-                               pitch_backend, onset_backend)
+        return fused_slot_agg_step(nf, tr, os_, pend, pt, ot, hv,
+                                   sample_rate, slot_len, n_slots,
+                                   p_tail_len, o_tail_len,
+                                   p_window, p_hop, o_window, o_hop,
+                                   pitch_backend, onset_backend)
 
-    nf, tr, os_, pend, pt, ot, out = jax.vmap(one)(
+    nf, tr, os_, pend, pt, ot, outs = jax.vmap(one)(
         nf, tr, os_, pend, pt, ot, host_vecs)
     new_states = tuple(
         jax.tree.map(lambda x: x[k], (nf, tr, os_, pend, pt, ot))
         for k in range(len(states)))
-    return new_states, out
+    return new_states, (pack_fused_out(outs) if pack else outs)
+
+
+def unpack_fused_pool_out(vec: np.ndarray, n_engines: int,
+                          frame_counts) -> list:
+    """Host-side inverse of a packed `fused_slot_pool_step` readback.
+
+    The packed vector is `pack_fused_out` over a tuple of `n_slots`
+    FusedSlotOuts whose leaves carry a leading K (= n_engines) axis from
+    the vmap — i.e. leaf-major, engine-minor.  `frame_counts` is the
+    [(n_p, n_o)] list per chained sub-slot (shared by every engine in the
+    wave: lockstep pooling implies identical ring-tail geometry).
+    Returns outs[slot][engine] -> FusedSlotOut (tests/test_pool.py pins
+    the round trip against the unpacked dispatch)."""
+    vec = np.asarray(vec, np.float32)
+    K = int(n_engines)
+    off = 0
+
+    def take(n, shape, dtype):
+        nonlocal off
+        part = vec[off:off + n]
+        off += n
+        part = part.reshape(shape)
+        if dtype is bool:
+            return part > 0.5
+        return part.astype(dtype) if dtype is not np.float32 else part
+
+    result = []
+    for (n_p, n_o) in frame_counts:
+        sf = take(K * n_p * 8, (K, n_p, 8), np.float32)
+        ss = take(K * n_p * 8, (K, n_p, 8), np.float32)
+        sv = take(K * n_p * 8, (K, n_p, 8), bool)
+        o = [take(K * n_o, (K, n_o), d) for d in
+             (bool, bool, np.float32, np.float32, np.float32, np.int32,
+              bool, np.int32)]
+        result.append([FusedSlotOut(sf[k], ss[k], sv[k],
+                                    OnsetChunkOut(*(x[k] for x in o)))
+                       for k in range(K)])
+    return result
 
 
 @dataclass

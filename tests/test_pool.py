@@ -1,0 +1,206 @@
+"""EnginePool parity: K pooled live engines vs K independently-driven ones.
+
+The pool (api/pool.py) steps K engines in lockstep and batches each slot
+wave into ONE vmapped device program (models/analyzer.fused_slot_pool_step).
+Per-engine results must match driving each engine alone: same onset event
+streams, same tuner readings, analyzer states equal under the aggregate-mode
+numeric contract (consumer surfaces bit-equal; noise-floor IIR leaves may
+carry ulp-level FMA-contraction drift — the batched module is a different
+XLA program, the precision-only divergence class of
+tests/test_divergence_proof.py).  Ref: the reference can only run ONE
+engine per process (src/audio_io/mod.rs:960-1129) — this is the TPU
+rebuild's qualitative win, so the parity here is what makes it honest.
+"""
+
+import json
+
+import numpy as np
+
+from audio_analyzer_rs_tpu.api.device import ArraySource
+from audio_analyzer_rs_tpu.api.engine import AudioEngine
+from audio_analyzer_rs_tpu.api.pool import EnginePool
+from audio_analyzer_rs_tpu.models import generators as gen
+
+SR = 48000.0
+# Seeds whose mixed scenes complete loopback calibration and fire onsets
+# within the 3 s session (most seeds' scenes fire nothing that early, which
+# would make the event-stream parity trivially vacuous for that engine).
+SEEDS = (11, 23, 42)
+
+
+def _make_engine(seed: int, seconds: float):
+    scene = gen.mixed_scene(seconds + 0.5, SR, seed=seed)
+    e = AudioEngine(input_source=ArraySource(scene), sample_rate=SR,
+                    loopback_latency_samples=2048, loopback_gain=1.0)
+    tuner = e.start_tuner()
+    onset = e.start_onset_detection()
+    return e, tuner, onset
+
+
+def _run_pooled(seeds, seconds=3.0, depth=1, aggregate=2, pause_at=-1):
+    """Lockstep-pooled session; returns per-engine (engine, events, tuner)."""
+    members = [_make_engine(s, seconds) for s in seeds]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=depth,
+                      aggregate_slots=aggregate)
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(seconds / slot_s)
+    events = [[] for _ in members]
+    for i in range(n_slots):
+        if pause_at >= 0 and i == pause_at:
+            members[0][2].pause()
+        if pause_at >= 0 and i == pause_at + 12:
+            members[0][2].resume()
+        pool.step_wave()
+        for k, (_, _, onset) in enumerate(members):
+            events[k].extend(json.loads(onset.poll_onsets()))
+    pool.flush()
+    for k, (_, _, onset) in enumerate(members):
+        events[k].extend(json.loads(onset.poll_onsets()))
+    return pool, members, events
+
+
+def _run_solo(seed, seconds=3.0, pause_at=-1):
+    """The reference scenario: one engine, driven alone (fused, depth 0)."""
+    e, tuner, onset = _make_engine(seed, seconds)
+    slot_s = e.buffer_size / SR
+    events = []
+    for i in range(int(seconds / slot_s)):
+        if pause_at >= 0 and i == pause_at:
+            onset.pause()
+        if pause_at >= 0 and i == pause_at + 12:
+            onset.resume()
+        e.advance(slot_s)
+        events.extend(json.loads(onset.poll_onsets()))
+    return e, events, tuner
+
+
+def _consumers(e):
+    from audio_analyzer_rs_tpu.api.engine import (_OnsetConsumer,
+                                                  _PitchConsumer)
+    pc = next(c for c in e._consumers.values()
+              if isinstance(c, _PitchConsumer))
+    oc = next(c for c in e._consumers.values()
+              if isinstance(c, _OnsetConsumer))
+    return pc, oc
+
+
+def _assert_states_match(ea, eb):
+    """Aggregate-mode state contract (see tests/test_fused_streaming.py
+    _assert_states_equal_agg): everything bit-equal except the noise-floor
+    IIR leaves (floor, volatility), allowed bounded ulp-relative drift."""
+    pa, oa = _consumers(ea)
+    pb, ob = _consumers(eb)
+    assert pa.analyzer.frames_consumed == pb.analyzer.frames_consumed
+    assert oa.analyzer.frames_consumed == ob.analyzer.frames_consumed
+    np.testing.assert_array_equal(np.asarray(pa.analyzer._tail),
+                                  np.asarray(pb.analyzer._tail))
+    np.testing.assert_array_equal(np.asarray(oa.analyzer._tail),
+                                  np.asarray(ob.analyzer._tail))
+    for name, a, b in zip(pa.analyzer.nf_state._fields,
+                          pa.analyzer.nf_state, pb.analyzer.nf_state):
+        a, b = np.asarray(a), np.asarray(b)
+        if name in ("floor", "volatility"):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-6,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+    for a, b in zip(pa.analyzer.tr_state, pb.analyzer.tr_state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(oa.analyzer.state, ob.analyzer.state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pool_matches_independent_engines():
+    """K=3 pooled engines (deferred, aggregated waves) must reproduce each
+    engine's solo run: event streams, final tuner reading, states,
+    calibration offsets."""
+    pool, members, ev_pool = _run_pooled(SEEDS)
+    for k, seed in enumerate(SEEDS):
+        e_solo, ev_solo, tuner_solo = _run_solo(seed)
+        e_pool, tuner_pool, _ = members[k]
+        assert ev_pool[k] == ev_solo and len(ev_solo) > 0, f"engine {k}"
+        assert tuner_pool.poll_output() == tuner_solo.poll_output()
+        _assert_states_match(e_solo, e_pool)
+        assert (e_pool.transport.get_calibration_offset()
+                == e_solo.transport.get_calibration_offset())
+    # Every slot of every engine must have gone through the fused path,
+    # and the pool must actually have dispatched waves.
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(3.0 / slot_s)
+    for e, _, _ in members:
+        assert e._fused_slots == n_slots
+    assert pool.waves > 0
+
+
+def test_pool_member_pause_falls_back():
+    """A paused member drops out of the wave (sequential fallback) and back
+    in on resume — outputs still match its solo run with the same script,
+    and the other member keeps matching too."""
+    pool, members, ev_pool = _run_pooled(SEEDS[:2], pause_at=100)
+    for k, seed in enumerate(SEEDS[:2]):
+        pa = 100 if k == 0 else -1
+        e_solo, ev_solo, _ = _run_solo(seed, pause_at=pa)
+        assert ev_pool[k] == ev_solo, f"engine {k}"
+        _assert_states_match(e_solo, members[k][0])
+
+
+def test_pool_remove_returns_engine_to_solo():
+    """remove() mid-run surfaces deferred results and the engine continues
+    standalone, still matching an end-to-end solo run."""
+    members = [_make_engine(s, 3.0) for s in SEEDS[:2]]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                      aggregate_slots=2)
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(3.0 / slot_s)
+    events = [[] for _ in members]
+    for i in range(n_slots):
+        if i == n_slots // 2:
+            pool.remove(members[0][0])
+            assert members[0][0]._pool is None
+        if members[0][0]._pool is None:
+            members[0][0].advance(slot_s)
+            pool.step_wave()
+        else:
+            pool.step_wave()
+        for k, (_, _, onset) in enumerate(members):
+            events[k].extend(json.loads(onset.poll_onsets()))
+    pool.flush()
+    members[0][0].flush_analysis()
+    for k, (_, _, onset) in enumerate(members):
+        events[k].extend(json.loads(onset.poll_onsets()))
+    for k, seed in enumerate(SEEDS[:2]):
+        e_solo, ev_solo, _ = _run_solo(seed)
+        assert events[k] == ev_solo, f"engine {k}"
+        _assert_states_match(e_solo, members[k][0])
+
+
+def test_pool_checkpoint_mid_stream(tmp_path):
+    """checkpoint.save_engine on a pooled member flushes the pool's deferred
+    waves first: the snapshot equals the solo engine's (noise-floor IIR
+    leaves under the aggregate-mode ulp contract)."""
+    from audio_analyzer_rs_tpu import checkpoint
+
+    members = [_make_engine(s, 2.0) for s in SEEDS[:2]]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                      aggregate_slots=4)
+    pool.advance(2.0)
+    # Solo twin advanced WITHOUT per-slot polling: poll_onsets drains the
+    # event queue, and neither pooled member was polled above, so the
+    # snapshots must be taken from identically-(un)polled engines.
+    e_solo, _, _ = _make_engine(SEEDS[0], 2.0)
+    e_solo.advance(2.0)
+    p_a = str(tmp_path / "pooled.npz")
+    p_b = str(tmp_path / "solo.npz")
+    checkpoint.save_engine(p_a, members[0][0])
+    checkpoint.save_engine(p_b, e_solo)
+    a = np.load(p_a, allow_pickle=True)
+    b = np.load(p_b, allow_pickle=True)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        if k == "meta_json":
+            assert str(a[k]) == str(b[k])
+        elif k in ("tuner_nf_0", "tuner_nf_2"):
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=2e-6,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

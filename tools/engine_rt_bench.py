@@ -68,6 +68,11 @@ def main():
                     help="after the timed run, run_realtime() this many "
                          "seconds and report the wall/virtual ratio "
                          "(sustained realtime <=> ratio ~ 1.0)")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="additionally bench an EnginePool of N live "
+                         "engines (one batched dispatch per slot wave, "
+                         "api/pool.py) — the classroom scenario the "
+                         "reference needs N processes for")
     ap.add_argument("--ab", action="store_true",
                     help="after the timed run, replay a short scene through "
                          "the fused AND the sequential path ON THIS BACKEND "
@@ -149,6 +154,63 @@ def main():
         log(f"paced: {args.paced:.0f}s of stream in {paced_wall:.2f}s "
             f"wall (ratio {paced_ratio:.3f}; sustained realtime needs "
             f"~1.0)")
+
+    # ── 1c. EnginePool: K live sessions, one dispatch per slot wave ──────
+    pool_stats = None
+    if args.pool > 0:
+        from audio_analyzer_rs_tpu.api.pool import EnginePool
+        K = args.pool
+        members = []
+        for k in range(K):
+            sc = gen.mixed_scene(total_s, sr, seed=100 + k)
+            e = AudioEngine(input_source=ArraySource(sc), sample_rate=sr,
+                            loopback_latency_samples=2048, loopback_gain=1.0)
+            tun = e.start_tuner()
+            ons = e.start_onset_detection()
+            members.append((e, tun, ons))
+        pool = EnginePool([e for e, _, _ in members],
+                          pipeline_depth=max(args.depth, 0),
+                          aggregate_slots=max(args.aggregate, 1))
+        t0 = time.perf_counter()
+        pool.advance(warm_s)            # compiles the pool wave programs
+        log(f"pool({K}) warmup {warm_s:.0f}s: "
+            f"{time.perf_counter()-t0:.1f}s (compile-inclusive)")
+        per_wave = []
+        pool_onsets = 0
+        t_all0 = time.perf_counter()
+        for _ in range(n_slots):
+            t0 = time.perf_counter()
+            pool.step_wave()
+            per_wave.append((time.perf_counter() - t0) * 1000.0)
+            for _, tun, ons in members:
+                pool_onsets += len(json.loads(ons.poll_onsets()))
+                tun.poll_output()
+        pool_wall = time.perf_counter() - t_all0
+        pool_mean = pool_wall / n_slots * 1000.0
+        log(f"pool({K}): {n_slots} waves in {pool_wall:.2f}s -> mean "
+            f"{pool_mean:.2f} ms/wave = {pool_mean / K:.2f} ms/engine-slot "
+            f"(median {pct(per_wave, 0.5):.2f}, p90 "
+            f"{pct(per_wave, 0.9):.2f}; budget {slot_ms:.2f} ms/wave); "
+            f"onsets drained {pool_onsets}")
+        pool_paced = None
+        if args.paced > 0:
+            t0 = time.perf_counter()
+            pool.run_realtime(args.paced)
+            pool_paced = (time.perf_counter() - t0) / args.paced
+            log(f"pool({K}) paced: ratio {pool_paced:.3f} "
+                f"(sustained realtime needs ~1.0)")
+        pool_stats = {
+            "k_engines": K,
+            "wave_ms": {"mean": round(pool_mean, 3),
+                        "median": round(pct(per_wave, 0.5), 3),
+                        "p90": round(pct(per_wave, 0.9), 3),
+                        "p99": round(pct(per_wave, 0.99), 3)},
+            "engine_slot_ms": round(pool_mean / K, 3),
+            "xrt_pool": round(slot_ms / pool_mean, 2),
+            "waves": pool.waves,
+        }
+        if pool_paced is not None:
+            pool_stats["paced_wall_over_virtual"] = round(pool_paced, 3)
 
     # ── 2. tunnel RPC round-trip (dispatch + tiny readback) ──────────────
     one = jnp.zeros((8,), jnp.float32)
@@ -297,6 +359,8 @@ def main():
     }
     if paced_ratio is not None:
         out["paced_wall_over_virtual"] = round(paced_ratio, 3)
+    if pool_stats is not None:
+        out["pool"] = pool_stats
     if ab_match is not None:
         out["ab_match"] = ab_match
     print(json.dumps(out))
