@@ -16,6 +16,21 @@ Methods mirror the engine surface: start_input/start_output, create_* /
 stop_* for metronome, synth, player, recording, onset detection, tuner,
 practice session, the poll_* JSON getters, push_audio, advance (virtual
 time) and run_realtime.
+
+Multi-session (beyond the reference, whose uniffi object graph is one
+engine per process — ref src/audio_io/mod.rs:960-1129): a request may
+carry {"session": id} to address one of several engines hosted by the
+same server.  `session.create` opens a new session (id returned),
+`session.close` drops it, `session.list` enumerates.  `pool.join` puts
+every session into ONE EnginePool (api/pool.py) so each slot wave of all
+K sessions runs as a single batched device dispatch — the classroom
+scenario over the embedding boundary: one frontend (or hub process)
+pushes K students' audio and polls K result surfaces while the chip sees
+one program per wave.  While pooled, `advance`/`run_realtime` drive ALL
+sessions in lockstep (the pool's wave schedule), whichever session the
+request addresses.  Requests without a "session" field address session 0,
+so single-session embeddings (and the C client, runtime/engine_client)
+are untouched.
 """
 
 from __future__ import annotations
@@ -40,6 +55,12 @@ class RpcServer:
             buffer_size=buffer_size,
             loopback_latency_samples=loopback_latency_samples,
             loopback_gain=loopback_gain)
+        # session id -> (PushSource, AudioEngine); session 0 is the default
+        # (self.source/self.engine stay aliases so embedders and subclasses
+        # that predate multi-session keep working).
+        self.sessions: Dict[int, tuple] = {0: (self.source, self.engine)}
+        self.pool = None            # EnginePool over ALL sessions, or None
+        self._next_session = 1
 
     # ── dispatch ─────────────────────────────────────────────────────────
 
@@ -47,18 +68,93 @@ class RpcServer:
         rid = request.get("id")
         method = request.get("method", "")
         params = request.get("params", [])
+        session = request.get("session", 0)
         try:
-            result = self._dispatch(method, params)
+            result = self._dispatch(method, params, session)
             return {"id": rid, "result": result}
         except AudioEngineError as exc:
             return {"id": rid, "error": str(exc)}
         except Exception as exc:  # malformed params etc.
             return {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
 
-    def _dispatch(self, method: str, params: List[Any]):
-        e = self.engine
+    # ── session / pool management (no reference analog: the reference is
+    # one engine per process, ref src/audio_io/mod.rs:960-1129) ──────────
+
+    def _session_methods(self, method: str, params: List[Any],
+                         session: int):
+        if method == "session.create":
+            cfg = params[0] if params else {}
+            e0 = self.sessions[0][1]
+            src = PushSource()
+            eng = AudioEngine(
+                input_source=src,
+                sample_rate=float(cfg.get("sample_rate", e0.sample_rate)),
+                buffer_size=int(cfg.get("buffer_size", e0.buffer_size)),
+                loopback_latency_samples=int(
+                    cfg.get("loopback_latency_samples", 0)),
+                loopback_gain=float(cfg.get("loopback_gain", 0.0)))
+            sid = self._next_session
+            self._next_session += 1
+            self.sessions[sid] = (src, eng)
+            if self.pool is not None:
+                self.pool.add(eng)   # enforces shared sr/buffer_size
+            return sid
+        if method == "session.close":
+            if session == 0:
+                raise AudioEngineError("session 0 cannot be closed")
+            src, eng = self._session(session)
+            if self.pool is not None:
+                self.pool.remove(eng)   # surfaces its deferred waves
+            eng.flush_analysis()
+            del self.sessions[session]
+            return True
+        if method == "session.list":
+            return sorted(self.sessions)
+        if method == "pool.join":
+            # Pool EVERY session: each subsequent slot wave of all K
+            # engines runs as ONE batched device dispatch (api/pool.py).
+            from .pool import EnginePool
+            cfg = params[0] if params else {}
+            if self.pool is not None:
+                raise AudioEngineError("pool already active")
+            self.pool = EnginePool(
+                [eng for _, eng in self.sessions.values()],
+                pipeline_depth=int(cfg.get("pipeline_depth", 1)),
+                aggregate_slots=int(cfg.get("aggregate_slots", 1)))
+            return {"k": len(self.sessions)}
+        if method == "pool.leave":
+            if self.pool is None:
+                return False
+            pool, self.pool = self.pool, None
+            pool.flush()
+            for eng in list(pool.engines):
+                pool.remove(eng)
+            return True
+        if method == "pool.flush":
+            if self.pool is not None:
+                self.pool.flush()
+            return True
+        if method == "pool.stats":
+            if self.pool is None:
+                return None
+            return {"k": len(self.pool.engines), "waves": self.pool.waves,
+                    "pipeline_depth": self.pool.pipeline_depth,
+                    "aggregate_slots": self.pool.aggregate_slots}
+        return NotImplemented
+
+    def _session(self, session: int):
+        try:
+            return self.sessions[session]
+        except KeyError:
+            raise AudioEngineError(f"unknown session {session}") from None
+
+    def _dispatch(self, method: str, params: List[Any], session: int = 0):
         if method == "ping":
             return "pong"
+        handled = self._session_methods(method, params, session)
+        if handled is not NotImplemented:
+            return handled
+        src, e = self._session(session)
         if method == "configure":
             # Declare the host device's format before any stream starts —
             # the reference adapts to whatever cpal reports (ref mod.rs:
@@ -67,6 +163,10 @@ class RpcServer:
                     or e.transport.get_input_frames() > 0):
                 raise AudioEngineError(
                     "configure must precede stream start")
+            if session != 0 or len(self.sessions) > 1 or self.pool:
+                raise AudioEngineError(
+                    "configure applies to a fresh single-session server; "
+                    "give per-session formats to session.create instead")
             cfg = params[0] if params else {}
             if float(cfg.get("sample_rate", 48000.0)) <= 0:
                 raise AudioEngineError("sample_rate must be positive")
@@ -80,6 +180,7 @@ class RpcServer:
                 loopback_latency_samples=int(
                     cfg.get("loopback_latency_samples", 0)),
                 loopback_gain=float(cfg.get("loopback_gain", 0.0)))
+            self.sessions[0] = (self.source, self.engine)
             return {"sample_rate": self.engine.sample_rate,
                     "buffer_size": self.engine.buffer_size}
         if method == "push_audio":
@@ -92,18 +193,27 @@ class RpcServer:
             if dtype is None:
                 raise ValueError(f"unsupported sample format {fmt!r}")
             samples = np.frombuffer(base64.b64decode(params[0]), dtype=dtype)
-            self.source.push(samples, channels=channels)
+            src.push(samples, channels=channels)
             return len(samples)
         if method == "advance":
-            e.advance(float(params[0]))
+            # While pooled, time is shared: one call advances EVERY session
+            # in lockstep (each slot wave = one batched device dispatch).
+            if self.pool is not None:
+                self.pool.advance(float(params[0]))
+            else:
+                e.advance(float(params[0]))
             return True
         if method == "run_realtime":
-            e.run_realtime(float(params[0]))
+            if self.pool is not None:
+                self.pool.run_realtime(float(params[0]))
+            else:
+                e.run_realtime(float(params[0]))
             return True
         if method in ("start_input", "start_output", "clean_input",
                       "clean_output", "stop_metronome", "stop_synth",
                       "stop_player", "stop_recording", "stop_onset_detection",
-                      "stop_tuner", "stop_practice_session"):
+                      "stop_tuner", "stop_practice_session",
+                      "flush_analysis"):
             getattr(e, method)()
             return True
         if method == "poll_dynamics":
