@@ -1008,63 +1008,62 @@ class AudioEngine:
         fallback programs (debug-recorder / fused_streaming=False path) by
         streaming the same ramp through throwaway analyzers.
 
+        Coverage is by construction, not by enumeration: a throwaway
+        scratch engine with this engine's exact config (sample rate,
+        buffer size, aggregate_slots, pipeline_depth) streams silence
+        through the REAL per-slot path, so every jit cache key the live
+        session will hit — shapes, dtypes, weak-types, static flags — is
+        populated by the identical call sites.  (The first version of
+        this method hand-built the fused_slot_step calls and silently
+        compiled a parallel program family: it omitted pack=True, so the
+        live engine recompiled everything on slot 0 anyway.  Driving the
+        real path makes that class of drift impossible —
+        tests/test_fused_streaming.py::test_prepare_covers_all_slot_programs
+        pins it.)
+
         Returns {"variants": [(p_tail, o_tail), ...], "seconds": {...},
-        "total_s": float} — per-variant wall time (compile or cache-load
+        "total_s": float} — per-slot wall time (compile or cache-load
         inclusive).  Call before `start_tuner`/`start_onset_detection`
         (any time works; programs are cached process-wide)."""
         import time as _time
 
-        import jax
-        import jax.numpy as jnp
+        from .device import ArraySource
+        from ..models.analyzer import OnsetAnalyzer, PitchAnalyzer
 
-        from ..models.analyzer import (OnsetAnalyzer, PitchAnalyzer,
-                                       fused_slot_step)
-
-        pa = PitchAnalyzer(self.sample_rate)
-        oa = OnsetAnalyzer(self.sample_rate)
-        slot = np.zeros(self.buffer_size, np.float32)
-        pend = jnp.asarray(False)
-        p_tail = jnp.zeros(0, jnp.float32)
-        o_tail = jnp.zeros(0, jnp.float32)
         seen: list = []
         seconds: dict = {}
         t_all = _time.perf_counter()
-        while (len(p_tail), len(o_tail)) not in seen:
-            p_len, o_len = len(p_tail), len(o_tail)
-            seen.append((p_len, o_len))
-            n_o = num_frames(o_len + len(slot), oa.window, oa.hop)
-            host_vec = jnp.asarray(
-                np.concatenate([slot, np.zeros(3 + n_o, np.float32)]))
-            t0 = _time.perf_counter()
-            (pa.nf_state, pa.tr_state, oa.state, pend, p_tail, o_tail,
-             out) = fused_slot_step(
-                pa.nf_state, pa.tr_state, oa.state, pend, p_tail, o_tail,
-                host_vec, self.sample_rate, len(slot), p_len, o_len,
-                pa.window, pa.hop, oa.window, oa.hop, pa.backend, oa.backend)
-            jax.block_until_ready(out)
-            seconds[f"fused_{p_len}_{o_len}"] = _time.perf_counter() - t0
         agg = max(int(self.aggregate_slots), 1)
-        if agg > 1:
-            # The steady-state aggregate program (tails are at their fixed
-            # point once the ramp loop above has cycled).
-            from ..models.analyzer import fused_slot_agg_step
-            p_len, o_len = len(p_tail), len(o_tail)
-            pl, ol = p_len, o_len
-            hv = []
-            for _ in range(agg):
-                n_o = num_frames(ol + len(slot), oa.window, oa.hop)
-                n_p = num_frames(pl + len(slot), pa.window, pa.hop)
-                hv.append(np.zeros(len(slot) + 3 + n_o, np.float32))
-                pl += len(slot) - n_p * pa.hop
-                ol += len(slot) - n_o * oa.hop
+        # Ramp variants reach their fixed point within a few slots; then
+        # two full aggregates so the steady aggregate program compiles too.
+        n_slots = 8 + 2 * agg
+        scratch = AudioEngine(
+            input_source=ArraySource(
+                np.zeros((n_slots + 1) * self.buffer_size, np.float32)),
+            sample_rate=self.sample_rate, buffer_size=self.buffer_size)
+        scratch.fused_streaming = self.fused_streaming
+        scratch.aggregate_slots = self.aggregate_slots
+        scratch.pipeline_depth = self.pipeline_depth
+        scratch.start_tuner()
+        scratch.start_onset_detection()
+        pc = next(c for c in scratch._consumers.values()
+                  if isinstance(c, _PitchConsumer))
+        oc = next(c for c in scratch._consumers.values()
+                  if isinstance(c, _OnsetConsumer))
+        slot_s = self.buffer_size / self.sample_rate
+        for i in range(n_slots):
+            variant = (len(pc.analyzer._tail), len(oc.analyzer._tail))
             t0 = _time.perf_counter()
-            outs = fused_slot_agg_step(
-                pa.nf_state, pa.tr_state, oa.state, pend, p_tail, o_tail,
-                jnp.asarray(np.concatenate(hv)), self.sample_rate,
-                len(slot), agg, p_len, o_len, pa.window, pa.hop,
-                oa.window, oa.hop, pa.backend, oa.backend)
-            jax.block_until_ready(outs[-1])
-            seconds[f"agg{agg}_{p_len}_{o_len}"] = _time.perf_counter() - t0
+            scratch.advance(slot_s)
+            dt = _time.perf_counter() - t0
+            if variant not in seen:
+                seen.append(variant)
+                seconds[f"fused_{variant[0]}_{variant[1]}"] = dt
+            elif agg > 1 and (i + 1) % agg == 0:
+                # Steady-state aggregate dispatches land on these slots.
+                key = f"agg{agg}_{variant[0]}_{variant[1]}"
+                seconds.setdefault(key, dt)
+        scratch.flush_analysis()
         if include_sequential:
             pa2 = PitchAnalyzer(self.sample_rate)
             oa2 = OnsetAnalyzer(self.sample_rate)
