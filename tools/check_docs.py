@@ -1,20 +1,28 @@
-"""Doc-drift guard: assert README/PERFORMANCE headline numbers match the
-latest driver bench record (BENCH_r*.json) and the collected test count.
+"""Doc-drift guard: assert README/PERFORMANCE headline numbers agree with
+the latest driver bench record (BENCH_r*.json) and the collected test count.
 
 VERDICT r2 and r3 both flagged headline numbers pasted into prose rotting
-against the measured record; this makes the check mechanical.  Checked
-claims:
+against the measured record; this makes the check mechanical.  VERDICT r4
+flagged the opposite failure mode: the first version demanded EXACT string
+equality with a noisy measurement, so every re-run of the (weather-prone)
+bench turned the suite red.  The guard is therefore tolerance-based:
 
-- the segment-parallel pitch throughput (``parsed.value``) formatted with
-  thousands separators must appear in README.md and docs/PERFORMANCE.md;
-- the exact single-stream throughput (from the bench tail) likewise;
-- the upload-inclusive e2e throughput (``parsed.e2e_value``) must appear in
-  README.md;
-- the spectral relative-MSE exponent quoted in README must match the bench
-  tail's measured value at one significant digit;
-- README's "N tests" line must match the live collected count
+- device-compute throughputs (segment-parallel and single-stream frames/s)
+  must be quoted within ±2% of the bench record (run-to-run device noise);
+- the upload-inclusive e2e throughput within ±25% (the link itself swings
+  11-42 MB/s — docs/PERFORMANCE.md quotes the weather);
+- the spectral relative-MSE exponent exactly, at one significant digit;
+- README's "N tests" line must match the live collected count exactly
   (``--tests N`` to supply it, ``--collect`` to run pytest collection here;
-  skipped otherwise so the in-suite test stays cheap).
+  skipped otherwise so the in-suite test stays cheap);
+- docs/DESIGN.md's and README's "<N>-frame discarded warmup" must equal the
+  live ``DEFAULT_WARMUP_FRAMES`` constant exactly (r4 found DESIGN.md still
+  quoting the pre-round-3 256 default).
+
+A quoted number is "found" if ANY number adjacent to a frames/s unit in the
+target file falls within tolerance — the docs legitimately quote many
+throughput figures (variant tables, progressions), so the guard checks that
+the measured headline is present somewhere, not that every figure matches.
 
 Run standalone:  python tools/check_docs.py --collect
 In-suite:        tests/test_docs.py calls check_bench_numbers().
@@ -30,6 +38,9 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+RTOL_DEVICE = 0.02   # device-compute throughput run-to-run noise
+RTOL_E2E = 0.25      # link-bound e2e: PERFORMANCE.md documents 11-42 MB/s
+
 
 def latest_bench():
     paths = glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
@@ -40,55 +51,88 @@ def latest_bench():
         return path, json.load(f)
 
 
-def _fmt_thousands(v: float) -> str:
-    return f"{v:,.0f}"
+def _numbers_with_unit(body: str, unit: str = r"frames/s"):
+    """Every number immediately preceding `unit` in `body` (commas ok)."""
+    return [float(m.group(1).replace(",", ""))
+            for m in re.finditer(r"([\d,]+(?:\.\d+)?)[kM]?\s*" + unit, body)]
+
+
+def _within(value: float, candidates, rtol: float) -> bool:
+    return any(abs(c - value) <= rtol * value for c in candidates)
 
 
 def check_bench_numbers():
     """Return a list of mismatch strings (empty = docs agree with bench)."""
     path, bench = latest_bench()
-    if bench is None:
-        return []          # fresh clone without driver records: nothing to pin
     problems = []
-    name = os.path.basename(path)
-    tail = bench.get("tail", "")
-    parsed = bench.get("parsed") or {}
+    if bench is not None:
+        name = os.path.basename(path)
+        tail = bench.get("tail", "")
+        parsed = bench.get("parsed") or {}
 
-    readme = open(os.path.join(ROOT, "README.md")).read()
-    perf = open(os.path.join(ROOT, "docs", "PERFORMANCE.md")).read()
+        readme = open(os.path.join(ROOT, "README.md")).read()
+        perf = open(os.path.join(ROOT, "docs", "PERFORMANCE.md")).read()
 
-    claims = []
-    if "value" in parsed:
-        claims.append(("segment-parallel frames/s",
-                       _fmt_thousands(parsed["value"]),
-                       [("README.md", readme), ("docs/PERFORMANCE.md", perf)]))
-    m = re.search(r"single stream: .*-> ([\d,]+) frames/s", tail)
-    if m:
-        claims.append(("single-stream frames/s", m.group(1),
-                       [("README.md", readme), ("docs/PERFORMANCE.md", perf)]))
-    if "e2e_value" in parsed:
-        claims.append(("e2e upload-inclusive frames/s",
-                       _fmt_thousands(parsed["e2e_value"]),
-                       [("README.md", readme)]))
-    for what, text, targets in claims:
-        for fname, body in targets:
-            if text not in body:
+        claims = []
+        if "value" in parsed:
+            claims.append(("segment-parallel frames/s", parsed["value"],
+                           RTOL_DEVICE,
+                           [("README.md", readme),
+                            ("docs/PERFORMANCE.md", perf)]))
+        m = re.search(r"single stream: .*-> ([\d,]+) frames/s", tail)
+        if m:
+            claims.append(("single-stream frames/s",
+                           float(m.group(1).replace(",", "")), RTOL_DEVICE,
+                           [("README.md", readme),
+                            ("docs/PERFORMANCE.md", perf)]))
+        if "e2e_value" in parsed:
+            claims.append(("e2e upload-inclusive frames/s",
+                           parsed["e2e_value"], RTOL_E2E,
+                           [("README.md", readme)]))
+        for what, value, rtol, targets in claims:
+            for fname, body in targets:
+                if not _within(value, _numbers_with_unit(body), rtol):
+                    problems.append(
+                        f"{fname}: no quoted frames/s figure within "
+                        f"±{rtol:.0%} of {what} {value:,.0f} from {name} "
+                        f"(stale headline?)")
+
+        # Spectral MSE: compare the quoted exponent/mantissa at 1 sig digit.
+        m = re.search(r"spectral relative MSE[^:]*: ([\d.]+)e-(\d+)", tail)
+        if m:
+            mant, expo = float(m.group(1)), int(m.group(2))
+            want = f"{mant:.0f}e-{expo}"
+            quoted = re.search(r"relative MSE \*\*([\d.]+)e-(\d+)\*\*", readme)
+            if quoted:
+                got = f"{float(quoted.group(1)):.0f}e-{int(quoted.group(2))}"
+                if got != want:
+                    problems.append(
+                        f"README.md: spectral relative MSE "
+                        f"**{quoted.group(0)}** != bench {want} ({name})")
+    problems += check_constants()
+    return problems
+
+
+def check_constants():
+    """Docs quoting code constants must match the live source (exactly).
+
+    Currently pinned: the segmented-analysis default warmup length — r4
+    found docs/DESIGN.md still saying "256-frame discarded warmup" after
+    round 3 changed DEFAULT_WARMUP_FRAMES to 128."""
+    problems = []
+    seg_src = open(os.path.join(
+        ROOT, "audio_analyzer_rs_tpu", "models", "segmented.py")).read()
+    m = re.search(r"^DEFAULT_WARMUP_FRAMES\s*=\s*(\d+)", seg_src, re.M)
+    if not m:
+        return ["models/segmented.py: DEFAULT_WARMUP_FRAMES not found"]
+    warmup = int(m.group(1))
+    for fname in ("README.md", os.path.join("docs", "DESIGN.md")):
+        body = open(os.path.join(ROOT, fname)).read()
+        for q in re.finditer(r"(\d+)-frame discarded warmup", body):
+            if int(q.group(1)) != warmup:
                 problems.append(
-                    f"{fname}: {what} '{text}' from {name} not found "
-                    f"(stale headline?)")
-
-    # Spectral MSE: compare the quoted exponent/mantissa at 1 sig digit.
-    m = re.search(r"spectral relative MSE[^:]*: ([\d.]+)e-(\d+)", tail)
-    if m:
-        mant, expo = float(m.group(1)), int(m.group(2))
-        want = f"{mant:.0f}e-{expo}"
-        quoted = re.search(r"relative MSE \*\*([\d.]+)e-(\d+)\*\*", readme)
-        if quoted:
-            got = f"{float(quoted.group(1)):.0f}e-{int(quoted.group(2))}"
-            if got != want:
-                problems.append(
-                    f"README.md: spectral relative MSE **{quoted.group(0)}** "
-                    f"!= bench {want} ({name})")
+                    f"{fname}: '{q.group(0)}' != DEFAULT_WARMUP_FRAMES="
+                    f"{warmup} (models/segmented.py)")
     return problems
 
 
