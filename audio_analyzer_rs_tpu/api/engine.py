@@ -478,7 +478,7 @@ class _OnsetConsumer:
         e = self.engine
         t = e.transport
         if anchor is None:
-            anchor = t.anchor()
+            anchor = e._stamp_anchor()
         n = len(out.fired)
         if e.debug_recorder is not None:
             from .. import devtools
@@ -493,9 +493,13 @@ class _OnsetConsumer:
                         bool(out.energy_rising[i]),
                         int(out.frames_since[i]), float(out.flux[i]),
                         int(out.burst_count[i]))))
-        # Calibration timeout (ref onset.rs:361-371).
+        # Calibration timeout (ref onset.rs:361-371).  Elapsed frames come
+        # from the consume-time anchor, not the live transport: deferred
+        # posts (pooled calibration runs with a one-wave drain lag,
+        # api/pool.py) must see the clock as it stood when the slot was
+        # consumed, or the timeout slot would shift under deferral.
         if not self.calibration_done:
-            elapsed = t.get_output_frames() - self.calibration_start_frame
+            elapsed = anchor["output_frames"] - self.calibration_start_frame
             if elapsed > self.calibration_timeout:
                 _log.warning("onset calibration timed out after %d samples "
                              "— using offset 0", elapsed)
@@ -510,7 +514,12 @@ class _OnsetConsumer:
             event = t.stamp_onset_anchored(anchor, int(offset),
                                            float(out.velocity[i]))
             if not self.calibration_done:
-                target = e.calibration_target
+                # Anchored for the same reason as the timeout above: a
+                # deferred post must not see a click target published
+                # AFTER its slot was consumed (the sequential path would
+                # not have).
+                target = anchor.get("calibration_target",
+                                    e.calibration_target)
                 if target == 0:
                     _log.debug("pre-calibration onset ignored (target not set)")
                     continue
@@ -603,6 +612,7 @@ class AudioEngine:
         # rewrites scan state between slots, ref onset.rs:404-440).
         self.aggregate_slots = 1
         self._fused_slots = 0      # observability: slots run via fused path
+        self._agg_dispatches = 0   # observability: aggregate dispatches
         self._resident = None      # device-resident fused-stream carries
         self._pool = None          # EnginePool membership (api/pool.py)
         self.calibration_target = 0
@@ -770,6 +780,16 @@ class AudioEngine:
         if pc is not None:
             self._fused_consume(slot, pc, oc)
 
+    def _stamp_anchor(self) -> dict:
+        """Consume-time stamping snapshot: the transport anchor plus every
+        engine-level field a deferred post reads (the calibration click
+        target).  All posts — synchronous or deferred — stamp against
+        this, which is what makes readback deferral a pure latency
+        constant (see _fused_consume)."""
+        anchor = self.transport.anchor()
+        anchor["calibration_target"] = self.calibration_target
+        return anchor
+
     def _fused_consume(self, slot: np.ndarray, pc: "_PitchConsumer",
                        oc: "_OnsetConsumer") -> None:
         """Run both live flows as ONE device program for this slot, with
@@ -815,7 +835,7 @@ class AudioEngine:
             self._fused_inputs(slot, pc, oc)
         agg = 1 if hold else max(int(self.aggregate_slots), 1)
         meta = (n_p, n_o, pa.frames_consumed, oa.frames_consumed, tick_sup,
-                self.transport.anchor())
+                self._stamp_anchor())
         if agg > 1:
             # Slot aggregation: accumulate host inputs; every agg-th slot
             # dispatches ONE chained device program covering them all
@@ -861,18 +881,34 @@ class AudioEngine:
                             oc: "_OnsetConsumer") -> None:
         """Dispatch the accumulated aggregate as one chained device program
         (models/analyzer.fused_slot_agg_step) and queue its deferred
-        readback.  Partial aggregates (flush, knob change) dispatch with
-        their actual length — each length is its own compiled variant, but
-        the engine only ever uses the configured length plus rare partials."""
+        readback.  A PARTIAL aggregate (flush mid-chain, knob change)
+        decomposes into per-slot fused_slot_step dispatches instead: each
+        chain length is its own compiled XLA program, and a partial would
+        otherwise stall a prepared session on a fresh compile (the
+        per-slot program is always warm — it carried the calibration
+        phase).  Per-slot dispatch IS the reference semantics, so the
+        decomposition is exact."""
         import jax
         import jax.numpy as jnp
-        from ..models.analyzer import fused_slot_agg_step
+        from ..models.analyzer import fused_slot_agg_step, fused_slot_step
         res = self._resident
         acc = res.pop("agg", None)
         if not acc or not acc["entries"]:
             return
         pa, oa = pc.analyzer, oc.analyzer
         entries = acc["entries"]
+        if len(entries) < max(int(self.aggregate_slots), 1):
+            for host_vec, meta, p_len, o_len in entries:
+                (pa.nf_state, pa.tr_state, oa.state, res["pending"],
+                 res["p_tail"], res["o_tail"], out) = fused_slot_step(
+                    pa.nf_state, pa.tr_state, oa.state, res["pending"],
+                    res["p_tail"], res["o_tail"], jnp.asarray(host_vec),
+                    self.sample_rate, acc["slot_len"], p_len, o_len,
+                    pa.window, pa.hop, oa.window, oa.hop, pa.backend,
+                    oa.backend, pack=True)
+                out.copy_to_host_async()
+                res["queue"].append(("one", out, meta))
+            return
         host_vec = np.concatenate([e[0] for e in entries])
         (pa.nf_state, pa.tr_state, oa.state, res["pending"], res["p_tail"],
          res["o_tail"], outs) = fused_slot_agg_step(
@@ -883,6 +919,7 @@ class AudioEngine:
             pa.window, pa.hop, oa.window, oa.hop, pa.backend, oa.backend,
             pack=True)
         outs.copy_to_host_async()
+        self._agg_dispatches += 1
         res["queue"].append(("agg", outs, [e[1] for e in entries]))
 
     def _fused_drain_entry(self, entry, pc: "_PitchConsumer",
@@ -1013,13 +1050,17 @@ class AudioEngine:
         buffer size, aggregate_slots, pipeline_depth) streams silence
         through the REAL per-slot path, so every jit cache key the live
         session will hit — shapes, dtypes, weak-types, static flags — is
-        populated by the identical call sites.  (The first version of
-        this method hand-built the fused_slot_step calls and silently
-        compiled a parallel program family: it omitted pack=True, so the
-        live engine recompiled everything on slot 0 anyway.  Driving the
-        real path makes that class of drift impossible —
+        populated by the identical call sites.  The scratch session
+        mirrors a real one in two phases: first UNCALIBRATED (latency
+        calibration holds, so every slot dispatches per-slot — the ramp
+        variants compile), then with calibration marked done (so the
+        steady-state aggregate program, fused_slot_agg_step, compiles
+        too — the r4 version held calibration forever and never warmed
+        it, leaving the live session's first post-calibration aggregate
+        dispatch to pay the full compile).
         tests/test_fused_streaming.py::test_prepare_covers_all_slot_programs
-        pins it.)
+        pins both phases: after prepare(), a full live session (real
+        loopback calibration included) adds ZERO new jit cache entries.
 
         Returns {"variants": [(p_tail, o_tail), ...], "seconds": {...},
         "total_s": float} — per-slot wall time (compile or cache-load
@@ -1034,12 +1075,16 @@ class AudioEngine:
         seconds: dict = {}
         t_all = _time.perf_counter()
         agg = max(int(self.aggregate_slots), 1)
-        # Ramp variants reach their fixed point within a few slots; then
-        # two full aggregates so the steady aggregate program compiles too.
-        n_slots = 8 + 2 * agg
+        # Phase lengths: the ramp reaches its fixed point within a few
+        # slots (3 variants for 1024-sample slots); then two full
+        # aggregates so the steady aggregate program compiles and is
+        # timed once warm.
+        n_ramp = 8
+        n_agg = 2 * agg if agg > 1 else 0
         scratch = AudioEngine(
             input_source=ArraySource(
-                np.zeros((n_slots + 1) * self.buffer_size, np.float32)),
+                np.zeros((n_ramp + n_agg + 1) * self.buffer_size,
+                         np.float32)),
             sample_rate=self.sample_rate, buffer_size=self.buffer_size)
         scratch.fused_streaming = self.fused_streaming
         scratch.aggregate_slots = self.aggregate_slots
@@ -1051,7 +1096,10 @@ class AudioEngine:
         oc = next(c for c in scratch._consumers.values()
                   if isinstance(c, _OnsetConsumer))
         slot_s = self.buffer_size / self.sample_rate
-        for i in range(n_slots):
+        # Phase 1 — calibration holds (oc attaches uncalibrated, exactly
+        # like a live session's first ~2 s): per-slot dispatches walk the
+        # ring-tail ramp.
+        for i in range(n_ramp):
             variant = (len(pc.analyzer._tail), len(oc.analyzer._tail))
             t0 = _time.perf_counter()
             scratch.advance(slot_s)
@@ -1059,12 +1107,27 @@ class AudioEngine:
             if variant not in seen:
                 seen.append(variant)
                 seconds[f"fused_{variant[0]}_{variant[1]}"] = dt
-            elif agg > 1 and (i + 1) % agg == 0:
-                # Steady-state aggregate dispatches land on these slots.
-                key = f"agg{agg}_{variant[0]}_{variant[1]}"
-                seconds.setdefault(key, dt)
+        # Phase 2 — calibration done (a live session reaches this via
+        # loopback acceptance or the 2 s timeout): aggregation engages
+        # and the steady aggregate program compiles.
+        oc.calibration_done = True
+        scratch.transport.set_calibration_offset(0)
+        for i in range(n_agg):
+            variant = (len(pc.analyzer._tail), len(oc.analyzer._tail))
+            before = scratch._agg_dispatches
+            t0 = _time.perf_counter()
+            scratch.advance(slot_s)
+            dt = _time.perf_counter() - t0
+            if scratch._agg_dispatches > before:
+                seconds.setdefault(f"agg{agg}_{variant[0]}_{variant[1]}", dt)
+        if agg > 1 and scratch._agg_dispatches < 2:
+            raise RuntimeError(
+                f"prepare() internal error: expected >=2 aggregate "
+                f"dispatches in phase 2, saw {scratch._agg_dispatches} — "
+                f"the aggregate program was NOT warmed")
         scratch.flush_analysis()
         if include_sequential:
+            slot = np.zeros(self.buffer_size, np.float32)
             pa2 = PitchAnalyzer(self.sample_rate)
             oa2 = OnsetAnalyzer(self.sample_rate)
             for i in range(len(seen) + 1):

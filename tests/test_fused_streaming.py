@@ -262,3 +262,47 @@ def test_debug_recorder_disables_fusion():
     e.start_onset_detection()
     e.advance(0.8)
     assert e._fused_slots == 0
+
+
+def test_prepare_covers_all_slot_programs():
+    """AudioEngine.prepare()'s coverage claim, enforced: after prepare(),
+    a FULL live session — loopback calibration (per-slot hold dispatches
+    over the ring-tail ramp), steady aggregated streaming, and a
+    mid-chain flush (partial aggregates decompose to the warm per-slot
+    program) — must add ZERO new jit cache entries to the fused slot
+    programs.  r4 shipped prepare() citing this test without writing it,
+    and the exact regression it exists to catch had already happened:
+    the scratch session never left calibration hold, so with
+    aggregate_slots>1 the aggregate program was never compiled and the
+    live session stalled on the full XLA compile at its first
+    post-calibration aggregate dispatch."""
+    import jax
+
+    from audio_analyzer_rs_tpu.models import analyzer as an
+
+    for agg in (1, 4):
+        # Start from empty jit caches, or programs compiled by EARLIER
+        # tests in this module would mask coverage gaps (the check would
+        # pass vacuously).
+        jax.clear_caches()
+        cfg = AudioEngine(sample_rate=SR, buffer_size=1024)
+        cfg.aggregate_slots = agg
+        cfg.pipeline_depth = 1
+        cfg.prepare()
+        before = (an.fused_slot_step._cache_size(),
+                  an.fused_slot_agg_step._cache_size())
+        e, _ = _run_session(fused=True, depth=1, aggregate=agg)
+        e.flush_analysis()
+        after = (an.fused_slot_step._cache_size(),
+                 an.fused_slot_agg_step._cache_size())
+        assert after == before, (
+            f"agg={agg}: live session compiled programs prepare() missed "
+            f"(fused_slot_step {before[0]}->{after[0]}, "
+            f"fused_slot_agg_step {before[1]}->{after[1]})")
+        # The session must actually have exercised what it claims:
+        # calibration completed and the configured dispatch mode ran.
+        _, oc = _consumers(e)
+        assert oc.calibration_done
+        assert e._fused_slots > 0
+        if agg > 1:
+            assert e._agg_dispatches > 0
