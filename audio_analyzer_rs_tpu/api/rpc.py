@@ -93,11 +93,16 @@ class RpcServer:
                 loopback_latency_samples=int(
                     cfg.get("loopback_latency_samples", 0)),
                 loopback_gain=float(cfg.get("loopback_gain", 0.0)))
+            # Pool admission BEFORE registration: add() enforces shared
+            # sr/buffer_size, and a rejected engine must not linger in
+            # self.sessions outside the pool (the pooled advance/
+            # run_realtime paths drive members only — a zombie session
+            # would silently never advance; ADVICE r4).
+            if self.pool is not None:
+                self.pool.add(eng)
             sid = self._next_session
             self._next_session += 1
             self.sessions[sid] = (src, eng)
-            if self.pool is not None:
-                self.pool.add(eng)   # enforces shared sr/buffer_size
             return sid
         if method == "session.close":
             if session == 0:
@@ -120,7 +125,8 @@ class RpcServer:
             self.pool = EnginePool(
                 [eng for _, eng in self.sessions.values()],
                 pipeline_depth=int(cfg.get("pipeline_depth", 1)),
-                aggregate_slots=int(cfg.get("aggregate_slots", 1)))
+                aggregate_slots=int(cfg.get("aggregate_slots", 1)),
+                capacity=int(cfg.get("capacity", 0)))
             return {"k": len(self.sessions)}
         if method == "pool.leave":
             if self.pool is None:

@@ -204,3 +204,81 @@ def test_pool_checkpoint_mid_stream(tmp_path):
                                        err_msg=k)
         else:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_pool_mid_join_keeps_members_pipelined():
+    """One student joining mid-class must not stall the classroom: the
+    joiner calibrates in its own per-wave hold group (drained with a
+    one-wave lag), while the steady members KEEP their aggregation and
+    pipelining (r4 forced the whole pool synchronous/per-wave while any
+    member calibrated — VERDICT r4 item 4).  Everyone still matches their
+    solo runs exactly.  Ref onset.rs:404-440: calibration acceptance
+    rewrites only the calibrating engine's scan state."""
+    seconds = 4.0
+    members = [_make_engine(s, seconds) for s in SEEDS[:2]]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                      aggregate_slots=2, capacity=3)
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(seconds / slot_s)
+    join_at = 70     # both founders calibrated + aggregating by then
+    joiner_seconds = (n_slots - join_at + 0.5) * slot_s
+    events = [[], [], []]
+    agg_during_join = 0
+    hold_lag_waves = 0
+    for i in range(n_slots):
+        if i == join_at:
+            members.append(_make_engine(SEEDS[2], joiner_seconds))
+            pool.add(members[2][0])
+        before_agg = pool._agg_dispatches
+        pool.step_wave()
+        if (len(members) == 3
+                and not _consumers(members[2][0])[1].calibration_done):
+            # The join window: the founders' aggregate dispatches keep
+            # landing, and the joiner's dispatch sits on the hold queue
+            # (surfacing next wave) instead of blocking this one.
+            agg_during_join += pool._agg_dispatches - before_agg
+            hold_lag_waves += 1 if pool._hold_queue else 0
+        for k, (_, _, onset) in enumerate(members):
+            events[k].extend(json.loads(onset.poll_onsets()))
+    pool.flush()
+    for k, (_, _, onset) in enumerate(members):
+        events[k].extend(json.loads(onset.poll_onsets()))
+    assert _consumers(members[2][0])[1].calibration_done
+    assert agg_during_join > 0, \
+        "founders' aggregation was suspended during the join"
+    assert hold_lag_waves > 0, \
+        "joiner's calibration dispatches never used the hold queue"
+    for k, seed in enumerate(SEEDS[:2]):
+        e_solo, ev_solo, _ = _run_solo(seed, seconds=seconds)
+        assert events[k] == ev_solo and len(ev_solo) > 0, f"founder {k}"
+        _assert_states_match(e_solo, members[k][0])
+    e_solo, ev_solo, _ = _run_solo(SEEDS[2], seconds=joiner_seconds)
+    assert events[2] == ev_solo and len(ev_solo) > 0, "joiner"
+    _assert_states_match(e_solo, members[2][0])
+
+
+def test_pool_prepare_covers_wave_programs():
+    """EnginePool.prepare()'s coverage claim, enforced (the pool twin of
+    test_fused_streaming.test_prepare_covers_all_slot_programs): after
+    prepare(), a full pooled live session — every member's loopback
+    calibration, the staggered hold->steady transitions, aggregated
+    steady waves, and the final flush — adds ZERO new jit cache entries
+    to the wave program."""
+    import jax
+
+    from audio_analyzer_rs_tpu.models import analyzer as an
+
+    jax.clear_caches()
+    cfg_pool = EnginePool(
+        [AudioEngine(sample_rate=SR, buffer_size=1024) for _ in range(2)],
+        pipeline_depth=1, aggregate_slots=2)
+    cfg_pool.prepare()
+    before = an.fused_slot_pool_step._cache_size()
+    pool, members, _ = _run_pooled(SEEDS[:2])
+    after = an.fused_slot_pool_step._cache_size()
+    assert after == before, (
+        f"pooled session compiled wave programs prepare() missed "
+        f"({before}->{after})")
+    for e, _, _ in members:
+        assert _consumers(e)[1].calibration_done
+    assert pool._agg_dispatches > 0

@@ -73,6 +73,17 @@ def main():
                          "engines (one batched dispatch per slot wave, "
                          "api/pool.py) — the classroom scenario the "
                          "reference needs N processes for")
+    ap.add_argument("--pool-sweep", type=str, default="",
+                    help="comma-separated K list (e.g. 2,4,8,16,32): bench "
+                         "the pool at each size and report the scaling "
+                         "curve (ms/wave, ms/engine-slot, paced ratio)")
+    ap.add_argument("--join-at", type=float, default=0.0,
+                    help="with --pool K: run the paced pool session and "
+                         "have a FRESH engine join K seconds in — reports "
+                         "per-phase wave times (before / while the joiner "
+                         "calibrates / after) and whether the steady "
+                         "members kept the realtime budget through the "
+                         "join (VERDICT r4 item 4)")
     ap.add_argument("--ab", action="store_true",
                     help="after the timed run, replay a short scene through "
                          "the fused AND the sequential path ON THIS BACKEND "
@@ -156,10 +167,13 @@ def main():
             f"~1.0)")
 
     # ── 1c. EnginePool: K live sessions, one dispatch per slot wave ──────
-    pool_stats = None
-    if args.pool > 0:
+    def bench_pool(K: int, join_at: float = 0.0):
+        """Warm + bench an EnginePool of K live engines; with `join_at`,
+        a fresh (uncalibrated) engine joins that many seconds into the
+        measured span and the wave times are reported per phase."""
+        from audio_analyzer_rs_tpu.api.engine import (_OnsetConsumer as _OC)
         from audio_analyzer_rs_tpu.api.pool import EnginePool
-        K = args.pool
+        capacity = K + 1 if join_at > 0 else K
         members = []
         for k in range(K):
             sc = gen.mixed_scene(total_s, sr, seed=100 + k)
@@ -170,18 +184,41 @@ def main():
             members.append((e, tun, ons))
         pool = EnginePool([e for e, _, _ in members],
                           pipeline_depth=max(args.depth, 0),
-                          aggregate_slots=max(args.aggregate, 1))
+                          aggregate_slots=max(args.aggregate, 1),
+                          capacity=capacity)
         t0 = time.perf_counter()
         pool.advance(warm_s)            # compiles the pool wave programs
         log(f"pool({K}) warmup {warm_s:.0f}s: "
-            f"{time.perf_counter()-t0:.1f}s (compile-inclusive)")
+            f"{time.perf_counter()-t0:.1f}s (compile-inclusive; capacity "
+            f"{capacity} -> join programs pre-compiled by construction)")
         per_wave = []
+        phases = []                     # per wave: "pre" / "join" / "post"
         pool_onsets = 0
+        join_wave = int(join_at * sr) // slot if join_at > 0 else -1
+        joiner = None
         t_all0 = time.perf_counter()
-        for _ in range(n_slots):
+        for i in range(n_slots):
+            if i == join_wave:
+                sc = gen.mixed_scene(total_s, sr, seed=999)
+                e = AudioEngine(input_source=ArraySource(sc),
+                                sample_rate=sr,
+                                loopback_latency_samples=2048,
+                                loopback_gain=1.0)
+                tun = e.start_tuner()
+                ons = e.start_onset_detection()
+                joiner = (e, tun, ons)
+                members.append(joiner)
+                pool.add(e)
+                log(f"pool({K}): +1 engine joined at wave {i}")
             t0 = time.perf_counter()
             pool.step_wave()
             per_wave.append((time.perf_counter() - t0) * 1000.0)
+            if joiner is None:
+                phases.append("pre")
+            else:
+                oc = next(c for c in joiner[0]._consumers.values()
+                          if isinstance(c, _OC))
+                phases.append("post" if oc.calibration_done else "join")
             for _, tun, ons in members:
                 pool_onsets += len(json.loads(ons.poll_onsets()))
                 tun.poll_output()
@@ -192,14 +229,7 @@ def main():
             f"(median {pct(per_wave, 0.5):.2f}, p90 "
             f"{pct(per_wave, 0.9):.2f}; budget {slot_ms:.2f} ms/wave); "
             f"onsets drained {pool_onsets}")
-        pool_paced = None
-        if args.paced > 0:
-            t0 = time.perf_counter()
-            pool.run_realtime(args.paced)
-            pool_paced = (time.perf_counter() - t0) / args.paced
-            log(f"pool({K}) paced: ratio {pool_paced:.3f} "
-                f"(sustained realtime needs ~1.0)")
-        pool_stats = {
+        stats = {
             "k_engines": K,
             "wave_ms": {"mean": round(pool_mean, 3),
                         "median": round(pct(per_wave, 0.5), 3),
@@ -209,8 +239,35 @@ def main():
             "xrt_pool": round(slot_ms / pool_mean, 2),
             "waves": pool.waves,
         }
-        if pool_paced is not None:
-            pool_stats["paced_wall_over_virtual"] = round(pool_paced, 3)
+        if join_at > 0:
+            by = {}
+            for ph, ms in zip(phases, per_wave):
+                by.setdefault(ph, []).append(ms)
+            for ph, xs in sorted(by.items()):
+                stats[f"{ph}_wave_ms"] = {
+                    "n": len(xs), "mean": round(sum(xs) / len(xs), 3),
+                    "p90": round(pct(xs, 0.9), 3)}
+                log(f"pool({K}) {ph}-join: {len(xs)} waves, mean "
+                    f"{sum(xs)/len(xs):.2f} ms, p90 {pct(xs, 0.9):.2f} ms")
+            jn = by.get("join", [])
+            stats["join_budget_ok"] = bool(
+                jn and sum(jn) / len(jn) < slot_ms)
+        if args.paced > 0:
+            t0 = time.perf_counter()
+            pool.run_realtime(args.paced)
+            paced = (time.perf_counter() - t0) / args.paced
+            log(f"pool({K}) paced: ratio {paced:.3f} "
+                f"(sustained realtime needs ~1.0)")
+            stats["paced_wall_over_virtual"] = round(paced, 3)
+        return stats
+
+    pool_stats = None
+    if args.pool > 0:
+        pool_stats = bench_pool(args.pool, join_at=args.join_at)
+    pool_sweep = None
+    if args.pool_sweep:
+        pool_sweep = [bench_pool(int(k))
+                      for k in args.pool_sweep.split(",") if k.strip()]
 
     # ── 2. tunnel RPC round-trip (dispatch + tiny readback) ──────────────
     one = jnp.zeros((8,), jnp.float32)
@@ -361,6 +418,8 @@ def main():
         out["paced_wall_over_virtual"] = round(paced_ratio, 3)
     if pool_stats is not None:
         out["pool"] = pool_stats
+    if pool_sweep is not None:
+        out["pool_sweep"] = pool_sweep
     if ab_match is not None:
         out["ab_match"] = ab_match
     print(json.dumps(out))

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pitch-warmups", default="64,96,128,192,256")
+    ap.add_argument("--pitch-modes", default="full",
+                    help="comma list of warmup_mode values to A/B per "
+                         "warmup length (full,floor — the floor mode "
+                         "skips the comb on most look-back frames; "
+                         "models/segmented.py)")
     ap.add_argument("--onset-warmups", default="128,256,384,512")
     ap.add_argument("--skip-onset", action="store_true")
     args = ap.parse_args()
@@ -96,23 +101,27 @@ def main():
     of = np.asarray(seq.stable_freqs)
     ov = np.asarray(seq.stable_valid)
 
+    modes = [m.strip() for m in args.pitch_modes.split(",") if m.strip()]
     for w in [int(v) for v in args.pitch_warmups.split(",")]:
-        t0 = time.time()
-        sf, ss, sv = segmented_pitch_analysis(x, sr, warmup_frames=w,
-                                              device_audio=audio_dev)
-        first = time.time() - t0
-        t0 = time.time()
-        sf, ss, sv = segmented_pitch_analysis(x, sr, warmup_frames=w,
-                                              device_audio=audio_dev)
-        dt = time.time() - t0
-        pct = pitch_agreement_pct(sf, sv, of, ov)
-        net = n_p / dt
-        results["pitch"].append({
-            "warmup": w, "agreement_pct": round(pct, 4),
-            "net_fps": round(net), "wall_s": round(dt, 3),
-            "first_s": round(first, 2)})
-        log(f"pitch warmup {w:4d}: agreement {pct:9.4f}%  "
-            f"net {net:10,.0f} frames/s  ({dt:.3f}s; first {first:.2f}s)")
+        for mode in modes:
+            t0 = time.time()
+            sf, ss, sv = segmented_pitch_analysis(x, sr, warmup_frames=w,
+                                                  device_audio=audio_dev,
+                                                  warmup_mode=mode)
+            first = time.time() - t0
+            t0 = time.time()
+            sf, ss, sv = segmented_pitch_analysis(x, sr, warmup_frames=w,
+                                                  device_audio=audio_dev,
+                                                  warmup_mode=mode)
+            dt = time.time() - t0
+            pct = pitch_agreement_pct(sf, sv, of, ov)
+            net = n_p / dt
+            results["pitch"].append({
+                "warmup": w, "mode": mode, "agreement_pct": round(pct, 4),
+                "net_fps": round(net), "wall_s": round(dt, 3),
+                "first_s": round(first, 2)})
+            log(f"pitch warmup {w:4d} ({mode:5s}): agreement {pct:9.4f}%  "
+                f"net {net:10,.0f} frames/s  ({dt:.3f}s; first {first:.2f}s)")
 
     if not args.skip_onset:
         # ── onset ───────────────────────────────────────────────────────
