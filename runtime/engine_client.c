@@ -169,17 +169,25 @@ static int response_id(const char* line) {
     return (int)strtol(p, NULL, 10);
 }
 
-int engine_client_call(EngineClient* c, const char* method,
-                       const char* params_json,
-                       char* out, size_t out_len) {
+int engine_client_call_session(EngineClient* c, int session,
+                               const char* method, const char* params_json,
+                               char* out, size_t out_len) {
     if (!c || !method) return -1;
     if (out && out_len) out[0] = '\0';
     int id = c->next_id++;
-    if (fprintf(c->to_child, "{\"id\": %d, \"method\": \"%s\", "
-                             "\"params\": %s}\n",
-                id, method,
-                (params_json && *params_json) ? params_json : "[]") < 0
-        || fflush(c->to_child) != 0) {
+    int wrc;
+    const char* params = (params_json && *params_json) ? params_json : "[]";
+    if (session >= 0) {
+        /* Multi-session servers route on the "session" field; requests
+         * without it address session 0 (api/rpc.py). */
+        wrc = fprintf(c->to_child,
+                      "{\"id\": %d, \"session\": %d, \"method\": \"%s\", "
+                      "\"params\": %s}\n", id, session, method, params);
+    } else {
+        wrc = fprintf(c->to_child, "{\"id\": %d, \"method\": \"%s\", "
+                                   "\"params\": %s}\n", id, method, params);
+    }
+    if (wrc < 0 || fflush(c->to_child) != 0) {
         set_err(c, "write to engine failed");
         return -1;
     }
@@ -216,11 +224,18 @@ int engine_client_call(EngineClient* c, const char* method,
     return rc;
 }
 
+int engine_client_call(EngineClient* c, const char* method,
+                       const char* params_json,
+                       char* out, size_t out_len) {
+    return engine_client_call_session(c, -1, method, params_json,
+                                      out, out_len);
+}
+
 static const char B64[] =
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
 
-int engine_client_push_audio(EngineClient* c, const float* samples,
-                             size_t n) {
+int engine_client_push_audio_session(EngineClient* c, int session,
+                                     const float* samples, size_t n) {
     /* The wire format is little-endian float32 (rpc.py decodes "<f4"). */
     const unsigned char* bytes = (const unsigned char*)samples;
     size_t nbytes = n * sizeof(float);
@@ -256,12 +271,56 @@ int engine_client_push_audio(EngineClient* c, const float* samples,
     }
     *q++ = '"'; *q++ = ']'; *q = '\0';
     char out[64];
-    int rc = engine_client_call(c, "push_audio", params, out, sizeof out);
+    int rc = engine_client_call_session(c, session, "push_audio", params,
+                                        out, sizeof out);
     free(params);
 #if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
     free(le);
 #endif
     return rc;
+}
+
+int engine_client_push_audio(EngineClient* c, const float* samples,
+                             size_t n) {
+    return engine_client_push_audio_session(c, -1, samples, n);
+}
+
+/* Parse the leading integer of a JSON result ("3" / "{\"k\": 3}"). */
+static int leading_int(const char* s, const char* key) {
+    if (key) {
+        char pat[32];
+        snprintf(pat, sizeof pat, "\"%s\":", key);
+        const char* p = strstr(s, pat);
+        if (!p) return -1;
+        s = p + strlen(pat);
+    }
+    while (*s == ' ' || *s == '\t') s++;
+    if (*s < '0' || *s > '9') return -1;
+    return (int)strtol(s, NULL, 10);
+}
+
+int engine_client_session_create(EngineClient* c, const char* cfg_json) {
+    char params[512];
+    snprintf(params, sizeof params, "[%s]",
+             (cfg_json && *cfg_json) ? cfg_json : "{}");
+    char out[64];
+    if (engine_client_call(c, "session.create", params, out, sizeof out))
+        return -1;
+    int sid = leading_int(out, NULL);
+    if (sid < 1) { set_err(c, "unparseable session id"); return -1; }
+    return sid;
+}
+
+int engine_client_pool_join(EngineClient* c, const char* cfg_json) {
+    char params[512];
+    snprintf(params, sizeof params, "[%s]",
+             (cfg_json && *cfg_json) ? cfg_json : "{}");
+    char out[128];
+    if (engine_client_call(c, "pool.join", params, out, sizeof out))
+        return -1;
+    int k = leading_int(out, "k");
+    if (k < 1) { set_err(c, "unparseable pool.join result"); return -1; }
+    return k;
 }
 
 const char* engine_client_last_error(const EngineClient* c) {

@@ -54,6 +54,32 @@ int engine_client_call(EngineClient* c, const char* method,
 int engine_client_push_audio(EngineClient* c, const float* samples,
                              size_t n);
 
+/* ── Multi-session (server methods session.create / pool.join — the
+ * server hosts K engines and can batch their slot waves into one device
+ * dispatch; see api/rpc.py + api/pool.py).  `session` addresses one
+ * hosted engine; pass a negative session to omit the field (the server
+ * then routes to session 0, so the plain calls above are the session<0
+ * case). ── */
+
+/* Session-addressed engine_client_call. */
+int engine_client_call_session(EngineClient* c, int session,
+                               const char* method, const char* params_json,
+                               char* out, size_t out_len);
+
+/* Session-addressed engine_client_push_audio. */
+int engine_client_push_audio_session(EngineClient* c, int session,
+                                     const float* samples, size_t n);
+
+/* session.create with optional engine config JSON (NULL = server
+ * defaults; e.g. "{\"loopback_gain\": 1.0}").  Returns the new session
+ * id (>= 1), or -1 on failure. */
+int engine_client_session_create(EngineClient* c, const char* cfg_json);
+
+/* pool.join with optional config JSON (NULL = defaults; e.g.
+ * "{\"pipeline_depth\": 1, \"aggregate_slots\": 2}").  Pools EVERY
+ * session on the server; returns the pooled session count K, or -1. */
+int engine_client_pool_join(EngineClient* c, const char* cfg_json);
+
 /* Last error message (valid until the next call on this client). */
 const char* engine_client_last_error(const EngineClient* c);
 

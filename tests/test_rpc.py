@@ -153,7 +153,13 @@ int main(void) {
 def test_c_embedding_client():
     """Build and run the C embedding client demo (the uniffi-bindgen
     analog): C synthesizes a tone, pushes it over the RPC boundary, and the
-    tuner must hear A3; double-start must surface 'Already active'."""
+    tuner must hear A3; double-start must surface 'Already active'.  The
+    demo then drives the MULTI-SESSION surface from C — session.create,
+    per-session pushes/polls, pool.join — and exits 0 only if each pooled
+    session heard its own tone through genuinely batched waves
+    (pool.stats waves > 0), mirroring
+    tests/test_rpc_pool.py::test_pooled_sessions_match_solo_servers
+    across the language boundary."""
     import os
     import shutil
     import subprocess
@@ -176,6 +182,12 @@ def test_c_embedding_client():
     assert '"pong"' in proc.stdout
     assert "A3" in proc.stdout
     assert "Already active" in proc.stdout
+    # Multi-session half: second session pooled with session 0, each
+    # hearing its own tone over batched waves.
+    assert "session.create -> 1" in proc.stdout
+    assert "pool.join -> k=2" in proc.stdout
+    assert "E4" in proc.stdout
+    assert '"waves": 0' not in proc.stdout
 
 
 def test_rpc_stdio_roundtrip():
