@@ -86,6 +86,7 @@ class EnginePool:
         # one-wave lag at the next _wave_dispatch — see there).
         self._hold_queue: List[dict] = []
         self._acc = None          # accumulating aggregate of waves
+        self._dummies: dict = {}  # inert pad lanes, cached per geometry
         self.pipeline_depth = max(int(pipeline_depth), 0)
         self.aggregate_slots = max(int(aggregate_slots), 1)
         self.waves = 0            # observability: dispatched wave count
@@ -357,9 +358,20 @@ class EnginePool:
                            oc.analyzer.state, res["pending"],
                            res["p_tail"], res["o_tail"]))
         lanes = max(pad_to, K)
-        for _ in range(lanes - K):
-            rows.append(np.zeros_like(rows[0]))
-            states.append(self._dummy_state(pa0, oa0, p_len0, o_len0))
+        if lanes > K:
+            # One cached inert lane per geometry, shared by every padded
+            # slot of every wave: the states are read-only jit inputs, and
+            # building them fresh each wave costs ~6 device uploads per
+            # lane — measured 265 ms/wave through the tunnel at 8 pad
+            # lanes before caching (bench_artifacts/pool_join_r5.log).
+            key = (pa0.window, oa0.window, p_len0, o_len0)
+            dummy = self._dummies.get(key)
+            if dummy is None:
+                dummy = self._dummies[key] = self._dummy_state(
+                    pa0, oa0, p_len0, o_len0)
+            for _ in range(lanes - K):
+                rows.append(np.zeros_like(rows[0]))
+                states.append(dummy)
         new_states, packed = fused_slot_pool_step(
             tuple(states), jnp.asarray(np.stack(rows)), e0.sample_rate,
             slot_len, A, p_len0, o_len0, pa0.window, pa0.hop, oa0.window,
@@ -383,6 +395,26 @@ class EnginePool:
                       for a in range(A)],
         }
         if hold:
+            # Prefetch the readback on a background thread: the drain
+            # happens only one wave (~a slot period) after dispatch, and
+            # the async device->host copy may make no progress while the
+            # host paces/sleeps, so draining could pay the full round
+            # trip.  On links whose client pipelines transfers this turns
+            # the pacing sleep into transfer time (drain pays only
+            # max(0, RTT - slot)); this environment's tunnel serializes
+            # the channel, so here the calibration wave stays RTT-bound
+            # either way (~30 ms busy vs the 21.3 ms budget — the same
+            # physical bound as the solo engine's synchronous mode; see
+            # docs/PERFORMANCE.md mid-join section).
+            import threading
+
+            def _prefetch(q=entry):
+                import jax as _jax
+                q["np"] = np.asarray(_jax.device_get(q["vec"]), np.float32)
+
+            th = threading.Thread(target=_prefetch, daemon=True)
+            entry["thread"] = th
+            th.start()
             self._hold_queue.append(entry)
             return
         self._queue.append(entry)
@@ -394,7 +426,12 @@ class EnginePool:
 
         from ..models.analyzer import unpack_fused_pool_out
 
-        vec = np.asarray(jax.device_get(q["vec"]), np.float32)
+        th = q.get("thread")
+        if th is not None:
+            th.join()
+            vec = q["np"]
+        else:
+            vec = np.asarray(jax.device_get(q["vec"]), np.float32)
         outs = unpack_fused_pool_out(vec, q.get("lanes", len(q["wave"])),
                                      q["frame_counts"])
         for a, per_engine in enumerate(outs):
