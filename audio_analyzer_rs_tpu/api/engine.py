@@ -545,6 +545,37 @@ class _OnsetConsumer:
                 self.detection._push(event)
                 e.onset_pending = True
 
+    def _calibration_transition(self, out, base: int, anchor: dict) -> bool:
+        """Would `_post(out, ..., base, anchor)` end the calibration hold
+        (timeout crossing or click acceptance)?  Pure pre-check with NO
+        side effects, mirroring `_post`'s calibration decisions exactly —
+        the pool's speculative calibration dispatch (api/pool.py) uses it
+        to decide whether an in-flight optimistically-dispatched slot
+        must be rolled back and rebuilt.  Any drift between this and
+        `_post` makes pooled state diverge from solo, which the
+        pooled-vs-solo bit-parity tests (tests/test_pool.py) catch."""
+        if self.calibration_done:
+            return False
+        elapsed = anchor["output_frames"] - self.calibration_start_frame
+        if elapsed > self.calibration_timeout:
+            return True
+        target = anchor.get("calibration_target", 0)
+        if target == 0:
+            return False
+        t = self.engine.transport
+        for i in range(len(out.fired)):
+            if not out.fired[i]:
+                continue
+            center = (self.base_input_frame + (base + i) * ONSET_HOP
+                      + ONSET_WINDOW // 2 + self.dropped_samples)
+            event = t.stamp_onset_anchored(
+                anchor, int(center - anchor["input_frames"]),
+                float(out.velocity[i]))
+            residual = event.output_samples - target
+            if 0 <= residual <= int(self.engine.sample_rate * 0.5):
+                return True
+        return False
+
 
 # ── The main engine (ref lib.rs:434-849) ─────────────────────────────────
 

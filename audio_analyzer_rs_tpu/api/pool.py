@@ -50,6 +50,7 @@ class _Entry(NamedTuple):
     p_len: int
     o_len: int
     hold: bool
+    mirrors: tuple    # pre-slot host mirrors (p_tail, o_tail, fc_p, fc_o)
 
 
 class EnginePool:
@@ -59,15 +60,24 @@ class EnginePool:
     (api/engine.py) but apply per WAVE: depth defers each dispatch's
     packed readback by N dispatches; aggregation chains A waves into one
     dispatch.  A member whose latency calibration is still running is
-    dispatched per-wave in its own group (calibration acceptance rewrites
-    that engine's onset scan state between slots, ref onset.rs:404-440),
-    drained with a one-wave lag so the wave loop never blocks on its
-    round trip — the OTHER members keep their configured aggregation and
-    pipelining, so one student joining mid-class no longer stalls the
-    classroom (VERDICT r4 item 4).  Every dispatch is padded with inert
-    lanes to the wave's full member count, so a join/calibration split
-    reuses the already-compiled K-lane programs instead of stalling on a
-    new XLA compile mid-session.
+    dispatched per-wave in its own group, SPECULATIVELY: calibration
+    acceptance rewrites that engine's onset scan state between slots
+    (ref onset.rs:404-440), but the transition happens at most ONCE per
+    calibration (click acceptance or timeout), so each wave dispatches
+    the next calibration slot optimistically and drains the previous
+    wave's result afterwards — the drain's round trip overlaps the slot
+    period instead of serializing ahead of the dispatch.  When a drained
+    result IS the transition (`_OnsetConsumer._calibration_transition`),
+    the one in-flight speculative dispatch is rolled back (states are
+    immutable jax arrays; the snapshot is free) and the slot is rebuilt
+    with post-transition inputs and redispatched — bit-identical to the
+    solo engine's synchronous ordering (tests/test_pool.py pins pooled ==
+    solo through the calibration phase).  The OTHER members keep their
+    configured aggregation and pipelining throughout, so one student
+    joining mid-class no longer stalls the classroom (VERDICT r4 item 4).
+    Every dispatch is padded with inert lanes up to `capacity`, so a
+    join/calibration split reuses the already-compiled programs instead
+    of stalling on a new XLA compile mid-session.
     """
 
     def __init__(self, engines=(), pipeline_depth: int = 0,
@@ -91,6 +101,8 @@ class EnginePool:
         self.aggregate_slots = max(int(aggregate_slots), 1)
         self.waves = 0            # observability: dispatched wave count
         self._agg_dispatches = 0  # observability: aggregate dispatches
+        self._rollbacks = 0       # observability: speculative rollbacks
+        self._wave_no = 0         # monotonic wave id (speculation ordering)
         for e in engines:
             self.add(e)
 
@@ -166,17 +178,7 @@ class EnginePool:
     def _wave_dispatch(self, collected) -> None:
         import jax.numpy as jnp
 
-        # Last wave's calibrating-member results drain FIRST, before this
-        # wave's host inputs are built: calibration acceptance rewrites
-        # the engine's onset scan state and hold flag, and the solo path's
-        # ordering (post slot k, then build+dispatch slot k+1) must be
-        # preserved exactly (ref onset.rs:404-440).  The one-wave lag is
-        # what keeps the wave loop from blocking a full link round trip
-        # per wave while someone calibrates — by the next wave the result
-        # is (nearly) ready, so the drain costs the RTT minus a slot
-        # period instead of the whole RTT.
-        while self._hold_queue:
-            self._drain_entry(self._hold_queue.pop(0))
+        self._wave_no += 1
 
         # Validate analyzer geometry BEFORE any host state advances: a
         # mismatched member must be rejected while every engine's host
@@ -215,8 +217,14 @@ class EnginePool:
             meta = (n_p, n_o, pc.analyzer.frames_consumed,
                     oc.analyzer.frames_consumed, tick_sup,
                     e._stamp_anchor())
+            # Pre-slot host mirrors: a speculative calibration dispatch
+            # that gets invalidated rebuilds this slot's inputs from
+            # these (see _redispatch_lane).
+            mirrors = (pc.analyzer._tail, oc.analyzer._tail,
+                       pc.analyzer.frames_consumed,
+                       oc.analyzer.frames_consumed)
             prepared.append(_Entry(e, slot, pc, oc, hv, meta, p_len, o_len,
-                                   hold))
+                                   hold, mirrors))
         for en in prepared:
             en.engine._fused_slots += 1
             en.engine._fused_advance_host(en.slot, en.pc, en.oc,
@@ -229,8 +237,12 @@ class EnginePool:
         pad_to = max(len(prepared), len(self._engines), self.capacity)
 
         # Calibrating members: per-wave dispatch in their own group(s),
-        # drained with a one-wave lag (top of this method).  The steady
-        # members below keep their configured aggregation + pipelining.
+        # SPECULATIVE — dispatched now with optimistically-built inputs,
+        # drained at the END of the next wave (after that wave's
+        # dispatches, maximizing round-trip overlap), rolled back and
+        # rebuilt in the at-most-one wave where the calibration
+        # transition lands.  The steady members below keep their
+        # configured aggregation + pipelining.
         holds = [en for en in prepared if en.hold]
         hgroups: dict = {}
         for en in holds:
@@ -240,8 +252,11 @@ class EnginePool:
             slot_len, p_len, o_len = key
             wave = [(en.engine, en.pc, en.oc) for en in entries]
             payload = [(en.host_vec, en.meta) for en in entries]
+            spec = [{"slot": en.slot, "mirrors": en.mirrors}
+                    for en in entries]
             self._dispatch_group(wave, [payload], slot_len, p_len, o_len,
-                                 depth=0, pad_to=pad_to, hold=True)
+                                 depth=0, pad_to=pad_to, hold=True,
+                                 spec=spec)
 
         # Steady members share ring-tail geometry in lockstep; a mixed
         # wave (an engine mid-(re)join with different tails) splits into
@@ -287,6 +302,16 @@ class EnginePool:
                            o_len + slot_len - n_o * oa.hop)
             if len(acc["payloads"]) >= agg:
                 self._flush_acc()
+
+        # Drain last wave's calibration results LAST: by now this wave's
+        # dispatches are in flight, so the blocking readback has had a
+        # full slot period to travel.  Ordering vs the solo path is
+        # restored by the rollback machinery in _drain_entry: the result
+        # being drained decides whether the speculative dispatch issued
+        # above stays valid.  (Entries appended during the drain — a
+        # rebuilt slot — carry the current wave id and stay queued.)
+        while self._hold_queue and self._hold_queue[0]["wave_no"] < self._wave_no:
+            self._drain_entry(self._hold_queue.pop(0))
 
     def _flush_acc(self) -> None:
         acc, self._acc = self._acc, None
@@ -334,14 +359,18 @@ class EnginePool:
 
     def _dispatch_group(self, wave, payloads, slot_len: int, p_len0: int,
                         o_len0: int, depth: int, pad_to: int = 0,
-                        hold: bool = False) -> None:
+                        hold: bool = False, spec=None) -> None:
         """Dispatch one group: `wave` = [(engine, pc, oc)] (K members),
         `payloads` = [per-wave [(host_vec, meta)] aligned with `wave`]
         (A chained sub-slots).  ONE vmapped device program, ONE packed
         deferred readback.  Lanes are padded with inert states up to
         `pad_to` so calibration/join splits reuse the full-wave program;
         `hold=True` queues the readback on the calibration queue (drained
-        at the next wave's entry) instead of the pipelined one."""
+        at the end of the NEXT wave) instead of the pipelined one, with
+        `spec` (per-lane {"slot", "mirrors"}) carrying what a rollback
+        needs — this method adds each lane's pre-dispatch state snapshot
+        ("snap": the very tuples about to be overwritten, free to keep
+        since jax arrays are immutable)."""
         import jax.numpy as jnp
 
         from ..models.analyzer import fused_slot_pool_step
@@ -394,6 +423,12 @@ class EnginePool:
             "metas": [[payloads[a][k][1] for k in range(K)]
                       for a in range(A)],
         }
+        if spec is not None:
+            for k in range(K):
+                spec[k]["snap"] = states[k]
+            entry["spec"] = spec
+            entry["invalid"] = set()
+            entry["wave_no"] = self._wave_no
         if hold:
             # Prefetch the readback on a background thread: the drain
             # happens only one wave (~a slot period) after dispatch, and
@@ -434,11 +469,83 @@ class EnginePool:
             vec = np.asarray(jax.device_get(q["vec"]), np.float32)
         outs = unpack_fused_pool_out(vec, q.get("lanes", len(q["wave"])),
                                      q["frame_counts"])
+        spec = q.get("spec")
+        invalid = q.get("invalid", ())
         for a, per_engine in enumerate(outs):
             # Padded lanes (beyond the real wave) are inert: drop them.
             for k, out in enumerate(per_engine[:len(q["wave"])]):
+                if k in invalid:
+                    # This lane's dispatch was speculative and a
+                    # calibration transition invalidated it; the slot was
+                    # rebuilt and redispatched — discard these results.
+                    continue
                 e, pc, oc = q["wave"][k]
-                e._fused_post((out,) + q["metas"][a][k], pc, oc)
+                meta = q["metas"][a][k]
+                if spec is not None and oc._calibration_transition(
+                        out.onset, meta[3], meta[5]):
+                    # The at-most-once calibration transition: the NEWER
+                    # in-flight speculative dispatch (if any) ran from
+                    # pre-transition state with pre-transition inputs.
+                    # Roll its lane back BEFORE posting (acceptance's
+                    # scan-state rewrite must land on the post-this-slot
+                    # state, exactly as the solo synchronous ordering),
+                    # post, then rebuild + redispatch that slot with
+                    # post-transition inputs.
+                    newer = self._find_inflight(e, q["wave_no"])
+                    if newer is not None:
+                        nq, lane = newer
+                        self._rollback_lane(pc, oc, e,
+                                            nq["spec"][lane]["snap"])
+                        nq["invalid"].add(lane)
+                        self._rollbacks += 1
+                    e._fused_post((out,) + meta, pc, oc)
+                    if newer is not None:
+                        self._redispatch_lane(e, pc, oc, nq["spec"][lane])
+                    continue
+                e._fused_post((out,) + meta, pc, oc)
+
+    def _find_inflight(self, engine, older_wave_no: int):
+        """The (at most one) queued speculative dispatch of `engine` newer
+        than `older_wave_no`: (entry, lane) or None."""
+        for q in self._hold_queue:
+            if q.get("wave_no", -1) <= older_wave_no:
+                continue
+            for lane, (e, _, _) in enumerate(q["wave"]):
+                if e is engine and lane not in q["invalid"]:
+                    return q, lane
+        return None
+
+    @staticmethod
+    def _rollback_lane(pc, oc, engine, snap) -> None:
+        """Undo one lane's speculative state write-back (jax arrays are
+        immutable, so the snapshot is the pre-dispatch tuples verbatim)."""
+        pc.analyzer.nf_state, pc.analyzer.tr_state = snap[0], snap[1]
+        oc.analyzer.state = snap[2]
+        res = engine._resident
+        res["pending"], res["p_tail"], res["o_tail"] = snap[3], snap[4], \
+            snap[5]
+
+    def _redispatch_lane(self, engine, pc, oc, info) -> None:
+        """Rebuild an invalidated speculative slot's inputs with
+        POST-transition state and dispatch it again.  The host mirrors are
+        temporarily rewound to their pre-slot values so `_fused_inputs`
+        sees exactly what the solo path's consume would have seen (same
+        virtual instant — nothing has ticked since the slot's collection
+        — but with the new calibration offset / hold flag)."""
+        pa, oa = pc.analyzer, oc.analyzer
+        save = (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed)
+        (pa._tail, oa._tail, pa.frames_consumed,
+         oa.frames_consumed) = info["mirrors"]
+        hv, n_p, n_o, tick_sup, hold, p_len, o_len = \
+            engine._fused_inputs(info["slot"], pc, oc)
+        meta = (n_p, n_o, pa.frames_consumed, oa.frames_consumed,
+                tick_sup, engine._stamp_anchor())
+        (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed) = save
+        self._dispatch_group(
+            [(engine, pc, oc)], [[(hv, meta)]], len(info["slot"]),
+            p_len, o_len, 0,
+            pad_to=max(len(self._engines), self.capacity), hold=True,
+            spec=[{"slot": info["slot"], "mirrors": info["mirrors"]}])
 
     def flush(self) -> None:
         """Surface every deferred wave result now (engine.flush_analysis /

@@ -244,6 +244,9 @@ def test_pool_mid_join_keeps_members_pipelined():
     for k, (_, _, onset) in enumerate(members):
         events[k].extend(json.loads(onset.poll_onsets()))
     assert _consumers(members[2][0])[1].calibration_done
+    # The joiner's acceptance landed while its next slot was already
+    # speculatively in flight.
+    assert pool._rollbacks >= 1
     assert agg_during_join > 0, \
         "founders' aggregation was suspended during the join"
     assert hold_lag_waves > 0, \
@@ -282,3 +285,62 @@ def test_pool_prepare_covers_wave_programs():
     for e, _, _ in members:
         assert _consumers(e)[1].calibration_done
     assert pool._agg_dispatches > 0
+
+
+def test_pool_speculative_calibration_rolls_back_and_matches():
+    """Calibration slots dispatch speculatively (next slot in flight
+    before the previous result lands); the at-most-once transition —
+    click acceptance here — must trigger a rollback + rebuild of the one
+    in-flight dispatch, and the result must still be bit-identical to
+    the solo synchronous ordering.  Guards _calibration_transition
+    against drifting from _post."""
+    pool, members, ev_pool = _run_pooled(SEEDS)
+    # Every member's loopback acceptance lands while its next slot is in
+    # flight -> one rollback per member.
+    assert pool._rollbacks == len(SEEDS), pool._rollbacks
+    for k, seed in enumerate(SEEDS):
+        e_solo, ev_solo, _ = _run_solo(seed)
+        assert ev_pool[k] == ev_solo and len(ev_solo) > 0, f"engine {k}"
+        _assert_states_match(e_solo, members[k][0])
+
+
+def test_pool_timeout_transition_rolls_back_and_matches():
+    """The calibration TIMEOUT (no loopback: offset-0 fallback at 2 s,
+    ref onset.rs:361-371) is the other speculation-invalidating
+    transition: the hold flag flips, so the in-flight optimistic slot
+    was built wrong and must be rebuilt.  Pooled must match solo through
+    the timeout boundary."""
+    seconds = 2.5
+    scenes = {s: gen.mixed_scene(seconds + 0.5, SR, seed=s) for s in (5, 6)}
+
+    def make(seed):
+        e = AudioEngine(input_source=ArraySource(scenes[seed]),
+                        sample_rate=SR)   # NO loopback -> timeout path
+        tuner = e.start_tuner()
+        onset = e.start_onset_detection()
+        return e, tuner, onset
+
+    members = [make(s) for s in (5, 6)]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                      aggregate_slots=2)
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(seconds / slot_s)
+    events = [[], []]
+    for _ in range(n_slots):
+        pool.step_wave()
+        for k, (_, _, onset) in enumerate(members):
+            events[k].extend(json.loads(onset.poll_onsets()))
+    pool.flush()
+    for k, (_, _, onset) in enumerate(members):
+        events[k].extend(json.loads(onset.poll_onsets()))
+    assert pool._rollbacks == 2, pool._rollbacks
+    for k, seed in enumerate((5, 6)):
+        e_solo, tuner_solo, onset_solo = make(seed)
+        ev_solo = []
+        for _ in range(n_slots):
+            e_solo.advance(slot_s)
+            ev_solo.extend(json.loads(onset_solo.poll_onsets()))
+        assert _consumers(e_solo)[1].calibration_done
+        assert _consumers(members[k][0])[1].calibration_done
+        assert events[k] == ev_solo, f"engine {k}"
+        _assert_states_match(e_solo, members[k][0])
