@@ -644,6 +644,7 @@ class AudioEngine:
         self.aggregate_slots = 1
         self._fused_slots = 0      # observability: slots run via fused path
         self._agg_dispatches = 0   # observability: aggregate dispatches
+        self._spec_rollbacks = 0   # observability: speculative rollbacks
         self._resident = None      # device-resident fused-stream carries
         self._pool = None          # EnginePool membership (api/pool.py)
         self.calibration_target = 0
@@ -888,25 +889,63 @@ class AudioEngine:
                 # restart): dispatch the partial aggregate first so slot
                 # order is preserved.
                 self._dispatch_aggregate(pc, oc)
-            # pack=True: the slot's 11 output arrays come back as ONE f32
-            # vector — the tunnel charges ~ms per fetched buffer, so the
-            # readback must be one buffer (models/analyzer.pack_fused_out).
-            (pa.nf_state, pa.tr_state, oa.state, res["pending"],
-             res["p_tail"], res["o_tail"], out) = fused_slot_step(
-                pa.nf_state, pa.tr_state, oa.state, res["pending"],
-                res["p_tail"], res["o_tail"], jnp.asarray(host_vec),
-                self.sample_rate, len(slot), p_len, o_len,
-                pa.window, pa.hop, oa.window, oa.hop, pa.backend,
-                oa.backend, pack=True)
-            # Start the device->host copy now; the blocking device_get in
-            # the drain then finds the bytes already on host.
-            out.copy_to_host_async()
+            # Calibration slots dispatch SPECULATIVELY when the session
+            # already runs deferred (pipeline_depth >= 1): the per-slot
+            # acceptance ordering (ref onset.rs:404-440) would otherwise
+            # force a synchronous round trip per slot — an RTT bound on
+            # high-latency links.  The calibration transition happens at
+            # most once, so the next slot goes out optimistically and the
+            # one invalidated in-flight dispatch is rolled back and
+            # rebuilt at the transition (see _fused_drain_entry; the pool
+            # twin is api/pool.py).  depth-0 sessions keep the exact
+            # synchronous ordering — their users opted into per-slot
+            # visibility.
+            spec = None
+            if hold and self.pipeline_depth >= 1:
+                spec = {"slot": slot,
+                        "mirrors": (pa._tail, oa._tail, pa.frames_consumed,
+                                    oa.frames_consumed)}
+            self._dispatch_slot(pc, oc, host_vec, meta, p_len, o_len,
+                                len(slot), spec=spec)
             self._fused_slots += 1
-            res["queue"].append(("one", out, meta))
             self._fused_advance_host(slot, pc, oc, n_p, n_o)
-        depth = 0 if hold else max(int(self.pipeline_depth), 0)
+        if hold:
+            depth = 1 if self.pipeline_depth >= 1 else 0
+        else:
+            depth = max(int(self.pipeline_depth), 0)
         while len(res["queue"]) > depth:
             self._fused_drain_entry(res["queue"].pop(0), pc, oc)
+
+    def _dispatch_slot(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
+                       host_vec: np.ndarray, meta: tuple, p_len: int,
+                       o_len: int, slot_len: int, spec=None) -> None:
+        """Dispatch ONE per-slot fused program and queue its deferred
+        readback.  `spec` (speculative calibration dispatch) carries the
+        raw slot + pre-slot host mirrors and receives the pre-dispatch
+        state snapshot ("snap" — the very tuples about to be overwritten;
+        jax arrays are immutable so this is free), so a calibration
+        transition can roll this dispatch back and rebuild it."""
+        import jax.numpy as jnp
+        from ..models.analyzer import fused_slot_step
+        res = self._resident
+        pa, oa = pc.analyzer, oc.analyzer
+        if spec is not None:
+            spec["snap"] = (pa.nf_state, pa.tr_state, oa.state,
+                            res["pending"], res["p_tail"], res["o_tail"])
+        # pack=True: the slot's 11 output arrays come back as ONE f32
+        # vector — the tunnel charges ~ms per fetched buffer, so the
+        # readback must be one buffer (models/analyzer.pack_fused_out).
+        (pa.nf_state, pa.tr_state, oa.state, res["pending"],
+         res["p_tail"], res["o_tail"], out) = fused_slot_step(
+            pa.nf_state, pa.tr_state, oa.state, res["pending"],
+            res["p_tail"], res["o_tail"], jnp.asarray(host_vec),
+            self.sample_rate, slot_len, p_len, o_len,
+            pa.window, pa.hop, oa.window, oa.hop, pa.backend,
+            oa.backend, pack=True)
+        # Start the device->host copy now; the blocking device_get in
+        # the drain then finds the bytes already on host.
+        out.copy_to_host_async()
+        res["queue"].append(("one", out, meta, spec))
 
     def _dispatch_aggregate(self, pc: "_PitchConsumer",
                             oc: "_OnsetConsumer") -> None:
@@ -930,15 +969,8 @@ class AudioEngine:
         entries = acc["entries"]
         if len(entries) < max(int(self.aggregate_slots), 1):
             for host_vec, meta, p_len, o_len in entries:
-                (pa.nf_state, pa.tr_state, oa.state, res["pending"],
-                 res["p_tail"], res["o_tail"], out) = fused_slot_step(
-                    pa.nf_state, pa.tr_state, oa.state, res["pending"],
-                    res["p_tail"], res["o_tail"], jnp.asarray(host_vec),
-                    self.sample_rate, acc["slot_len"], p_len, o_len,
-                    pa.window, pa.hop, oa.window, oa.hop, pa.backend,
-                    oa.backend, pack=True)
-                out.copy_to_host_async()
-                res["queue"].append(("one", out, meta))
+                self._dispatch_slot(pc, oc, host_vec, meta, p_len, o_len,
+                                    acc["slot_len"])
             return
         host_vec = np.concatenate([e[0] for e in entries])
         (pa.nf_state, pa.tr_state, oa.state, res["pending"], res["p_tail"],
@@ -957,15 +989,51 @@ class AudioEngine:
                            oc: "_OnsetConsumer") -> None:
         """Post one deferred-readback queue entry (a single slot or a whole
         aggregate).  Either way the readback is ONE packed f32 buffer,
-        unpacked on host (models/analyzer.unpack_fused_out)."""
+        unpacked on host (models/analyzer.unpack_fused_out).
+
+        Speculative calibration entries (spec != None, see _fused_consume)
+        get the transition check: the at-most-once calibration transition
+        (acceptance/timeout) invalidates the one newer in-flight dispatch,
+        which is rolled back BEFORE this entry posts (the acceptance's
+        scan-state rewrite must land on post-this-slot state, exactly the
+        solo synchronous ordering) and rebuilt with post-transition
+        inputs afterwards."""
         import jax
         from ..models.analyzer import fused_out_len, unpack_fused_out
-        kind, vec, metas = entry
+        kind, vec, metas = entry[0], entry[1], entry[2]
+        spec = entry[3] if len(entry) > 3 else None
+        if spec is not None and spec.get("invalid"):
+            # A calibration transition invalidated this speculative
+            # dispatch; the slot was rebuilt and redispatched — drop it.
+            return
         vec = np.asarray(jax.device_get(vec), np.float32)
         if kind == "one":
             n_p, n_o = metas[0], metas[1]
-            self._fused_post((unpack_fused_out(vec, n_p, n_o),) + metas,
-                             pc, oc)
+            out = unpack_fused_out(vec, n_p, n_o)
+            if spec is not None and oc._calibration_transition(
+                    out.onset, metas[3], metas[5]):
+                inflight = next(
+                    (e2[3] for e2 in self._resident["queue"]
+                     if e2[0] == "one" and len(e2) > 3 and e2[3] is not None
+                     and not e2[3].get("invalid")), None)
+                if inflight is not None:
+                    # Roll the newer dispatch back to its pre-dispatch
+                    # state (immutable jax arrays: the snapshot is the
+                    # original tuples).
+                    snap = inflight["snap"]
+                    pa, oa = pc.analyzer, oc.analyzer
+                    pa.nf_state, pa.tr_state = snap[0], snap[1]
+                    oa.state = snap[2]
+                    res = self._resident
+                    (res["pending"], res["p_tail"],
+                     res["o_tail"]) = snap[3], snap[4], snap[5]
+                    inflight["invalid"] = True
+                    self._spec_rollbacks += 1
+                self._fused_post((out,) + metas, pc, oc)
+                if inflight is not None:
+                    self._respeculate(pc, oc, inflight)
+                return
+            self._fused_post((out,) + metas, pc, oc)
             return
         off = 0
         for meta in metas:
@@ -974,6 +1042,26 @@ class AudioEngine:
             out_k = unpack_fused_out(vec[off:off + ln], n_p, n_o)
             off += ln
             self._fused_post((out_k,) + meta, pc, oc)
+
+    def _respeculate(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
+                     info: dict) -> None:
+        """Rebuild an invalidated speculative slot's inputs with
+        POST-transition state and dispatch it again: the host mirrors are
+        temporarily rewound to their pre-slot values so `_fused_inputs`
+        sees exactly what a synchronous consume would have (same virtual
+        instant — nothing has ticked since the slot's collection — but
+        with the new calibration offset / hold flag)."""
+        pa, oa = pc.analyzer, oc.analyzer
+        save = (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed)
+        (pa._tail, oa._tail, pa.frames_consumed,
+         oa.frames_consumed) = info["mirrors"]
+        host_vec, n_p, n_o, tick_sup, hold, p_len, o_len = \
+            self._fused_inputs(info["slot"], pc, oc)
+        meta = (n_p, n_o, pa.frames_consumed, oa.frames_consumed, tick_sup,
+                self._stamp_anchor())
+        (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed) = save
+        self._dispatch_slot(pc, oc, host_vec, meta, p_len, o_len,
+                            len(info["slot"]))
 
     def _fused_inputs(self, slot: np.ndarray, pc: "_PitchConsumer",
                       oc: "_OnsetConsumer"):
@@ -1042,12 +1130,17 @@ class AudioEngine:
             # Dispatch the partial aggregate so its slots surface too.
             r = self._resident
             self._dispatch_aggregate(r["pc"], r["oc"])
-        res, self._resident = self._resident, None
+        res = self._resident
         if res is None:
             return
         pc, oc = res["pc"], res["oc"]
-        for entry in res["queue"]:
-            self._fused_drain_entry(entry, pc, oc)
+        # Drain by popping with the residency still installed: a
+        # calibration transition during the drain rolls back and
+        # redispatches the one in-flight speculative slot, which appends
+        # to this very queue (see _fused_drain_entry).
+        while res["queue"]:
+            self._fused_drain_entry(res["queue"].pop(0), pc, oc)
+        self._resident = None
         if bool(np.asarray(res["pending"])):
             self.onset_pending = True
 

@@ -306,3 +306,43 @@ def test_prepare_covers_all_slot_programs():
         assert e._fused_slots > 0
         if agg > 1:
             assert e._agg_dispatches > 0
+
+
+def test_solo_speculative_calibration_rolls_back_and_matches():
+    """With pipeline_depth >= 1, a solo engine's calibration slots
+    dispatch speculatively (next slot in flight before the previous
+    result lands) instead of forcing a synchronous round trip per slot;
+    the at-most-once transition rolls the in-flight dispatch back and
+    rebuilds it (api/engine.py _fused_drain_entry/_respeculate).  Outputs
+    must still match the sequential path exactly, and both transition
+    kinds must actually exercise the rollback."""
+    # Acceptance transition (loopback calibration).
+    e, _ = _run_session(fused=True, depth=1, aggregate=4)
+    e.flush_analysis()
+    assert e._spec_rollbacks == 1, e._spec_rollbacks
+    es, _ = _run_session(fused=False)
+    _assert_states_equal_agg(e, es)
+    # Timeout transition (no loopback: 2 s offset-0 fallback).
+    scene = gen.mixed_scene(3.0, SR, seed=5)
+
+    def run(depth):
+        e = AudioEngine(input_source=ArraySource(scene), sample_rate=SR)
+        e.pipeline_depth = depth
+        tuner = e.start_tuner()
+        onset = e.start_onset_detection()
+        slot_s = e.buffer_size / SR
+        events = []
+        for _ in range(int(2.5 / slot_s)):
+            e.advance(slot_s)
+            events.extend(json.loads(onset.poll_onsets()))
+        e.flush_analysis()
+        events.extend(json.loads(onset.poll_onsets()))
+        return e, events
+
+    e1, ev1 = run(1)
+    e0, ev0 = run(0)
+    assert e1._spec_rollbacks == 1 and e0._spec_rollbacks == 0
+    assert ev1 == ev0
+    _assert_states_equal(e0, e1)
+    _, oc1 = _consumers(e1)
+    assert oc1.calibration_done
