@@ -515,6 +515,21 @@ def fused_slot_pool_step(states, host_vecs,
     this is the TPU rebuild's qualitative win — K sessions per chip in
     one dispatch."""
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    new_stacked, out = _pool_wave_stacked(
+        stacked, host_vecs, sample_rate, slot_len, n_slots, p_tail_len,
+        o_tail_len, p_window, p_hop, o_window, o_hop, pitch_backend,
+        onset_backend, pack)
+    new_states = tuple(
+        jax.tree.map(lambda x: x[k], new_stacked)
+        for k in range(len(states)))
+    return new_states, out
+
+
+def _pool_wave_stacked(stacked, host_vecs, sample_rate, slot_len, n_slots,
+                       p_tail_len, o_tail_len, p_window, p_hop, o_window,
+                       o_hop, pitch_backend, onset_backend, pack):
+    """Shared trace of the pool wave over PRE-STACKED [K, ...] carries
+    (the body of both fused_slot_pool_step and its mesh-shardable twin)."""
     nf, tr, os_, pend, pt, ot = stacked
 
     def one(nf, tr, os_, pend, pt, ot, hv):
@@ -526,10 +541,38 @@ def fused_slot_pool_step(states, host_vecs,
 
     nf, tr, os_, pend, pt, ot, outs = jax.vmap(one)(
         nf, tr, os_, pend, pt, ot, host_vecs)
-    new_states = tuple(
-        jax.tree.map(lambda x: x[k], (nf, tr, os_, pend, pt, ot))
-        for k in range(len(states)))
-    return new_states, (pack_fused_out(outs) if pack else outs)
+    return ((nf, tr, os_, pend, pt, ot),
+            pack_fused_out(outs) if pack else outs)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "slot_len", "n_slots",
+                                   "p_tail_len", "o_tail_len", "p_window",
+                                   "p_hop", "o_window", "o_hop",
+                                   "pitch_backend", "onset_backend", "pack"))
+def fused_slot_pool_step_stacked(stacked, host_vecs,
+                                 sample_rate: float, slot_len: int,
+                                 n_slots: int,
+                                 p_tail_len: int, o_tail_len: int,
+                                 p_window: int = PITCH_WINDOW,
+                                 p_hop: int = PITCH_HOP,
+                                 o_window: int = ONSET_WINDOW,
+                                 o_hop: int = ONSET_HOP,
+                                 pitch_backend: str = PITCH_BACKEND,
+                                 onset_backend: str = DEFAULT_BACKEND,
+                                 pack: bool = False):
+    """`fused_slot_pool_step` over PRE-STACKED `[K, ...]` carries — the
+    multi-chip classroom form.  The engine axis is a pure data-parallel
+    vmap (lanes never communicate), so placing the stacked carries and
+    `host_vecs` with a `NamedSharding` over a device mesh's axis
+    partitions the wave across chips via XLA SPMD with zero collectives
+    (computation follows data; see parallel/sharding.py
+    make_pooled_wave_step and the multichip dryrun, which pins bitwise
+    equality with the single-device pool step).  Returns
+    (new_stacked, outs) with the same shardings."""
+    return _pool_wave_stacked(
+        stacked, host_vecs, sample_rate, slot_len, n_slots, p_tail_len,
+        o_tail_len, p_window, p_hop, o_window, o_hop, pitch_backend,
+        onset_backend, pack)
 
 
 def unpack_fused_pool_out(vec: np.ndarray, n_engines: int,

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import dynamics, noisefloor, onset as onset_ops, pitch as pitch_ops
 from ..ops import reducer, tracker
@@ -201,3 +201,41 @@ def make_batched_full_step(mesh: Mesh, sample_rate: float,
                        out_specs=(states_spec, out_spec),
                        check_vma=False)
     return jax.jit(mapped)
+
+
+def make_pooled_wave_step(mesh: Mesh, sample_rate: float,
+                          slot_len: int = 1024, n_slots: int = 1):
+    """The multi-chip classroom: K live sessions' slot waves partitioned
+    over a device mesh.
+
+    `api/pool.EnginePool` batches K engines' fused slot steps into one
+    vmapped program (models/analyzer.fused_slot_pool_step); the engine
+    axis is pure data parallelism (lanes never communicate), so sharding
+    the stacked carries and host rows over the mesh's data axis runs the
+    wave across chips via XLA SPMD with zero collectives — K scales with
+    the mesh instead of one chip's VPU.  Returns `(place, step)`:
+
+      place(stacked, host_vecs) -> same pytrees device_put with the
+          engine axis sharded over the mesh (computation follows data);
+      step(stacked, host_vecs, p_tail_len, o_tail_len) ->
+          (new_stacked, packed) — fused_slot_pool_step_stacked with this
+          wave geometry, outputs keeping the input shardings.
+
+    Bitwise equality with the single-device pool step is pinned by
+    tests/test_parallel.py and the driver's multichip dryrun
+    (__graft_entry__.dryrun_multichip)."""
+    from ..models.analyzer import fused_slot_pool_step_stacked
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def place(stacked, host_vecs):
+        stacked = jax.device_put(
+            stacked, jax.tree.map(lambda _: sharding, stacked))
+        return stacked, jax.device_put(host_vecs, sharding)
+
+    def step(stacked, host_vecs, p_tail_len: int, o_tail_len: int):
+        return fused_slot_pool_step_stacked(
+            stacked, host_vecs, sample_rate, slot_len, n_slots,
+            p_tail_len, o_tail_len, pack=True)
+
+    return place, step

@@ -235,3 +235,77 @@ def test_classroom_batched_analysis_drives_practice_feedback():
             assert "WrongNote" in kinds, (b, kinds)
         else:            # silent students
             assert "MissingNote" in kinds, (b, kinds)
+
+
+def test_pooled_wave_sharded_matches_single_device():
+    """The multi-chip classroom: the stacked pool wave
+    (models/analyzer.fused_slot_pool_step_stacked) with the engine axis
+    sharded over the 8-device mesh must be BITWISE equal to the
+    single-device pool step — states and packed readback — across
+    chained waves (state threading included)."""
+    import jax.numpy as jnp
+
+    from audio_analyzer_rs_tpu.models.analyzer import fused_slot_pool_step
+    from audio_analyzer_rs_tpu.ops import noisefloor, onset as onset_ops
+    from audio_analyzer_rs_tpu.ops import tracker
+    from audio_analyzer_rs_tpu.ops.stft import (ONSET_HOP, ONSET_WINDOW,
+                                                PITCH_HOP, PITCH_WINDOW)
+    from audio_analyzer_rs_tpu.parallel.sharding import make_pooled_wave_step
+    from audio_analyzer_rs_tpu.utils.framing import num_frames
+
+    sr = 48000.0
+    K, slot_len = 8, 1024
+    p_len = PITCH_WINDOW - PITCH_HOP        # steady ring-tail geometry
+    o_len = 192
+    n_o = num_frames(o_len + slot_len, ONSET_WINDOW, ONSET_HOP)
+    rng = np.random.default_rng(3)
+
+    def fresh(k):
+        return (noisefloor.init_state(PITCH_WINDOW // 2 + 1),
+                tracker.init_state(),
+                onset_ops.init_state(ONSET_WINDOW // 2 + 1),
+                jnp.asarray(False),
+                jnp.asarray(rng.standard_normal(p_len).astype(np.float32)
+                            * 0.1),
+                jnp.asarray(rng.standard_normal(o_len).astype(np.float32)
+                            * 0.1))
+
+    states = tuple(fresh(k) for k in range(K))
+
+    def wave_rows():
+        rows = []
+        for k in range(K):
+            slot = (rng.standard_normal(slot_len) * 0.1).astype(np.float32)
+            rows.append(np.concatenate([
+                slot, np.asarray([1e-3, 1e-3, 0.0], np.float32),
+                np.zeros(n_o, np.float32)]))
+        return np.stack(rows)
+
+    waves = [wave_rows() for _ in range(3)]
+
+    # Single-device reference: per-engine tuples through the pool step.
+    ref_states, ref_packed = states, []
+    for w in waves:
+        ref_states, packed = fused_slot_pool_step(
+            ref_states, jnp.asarray(w), sr, slot_len, 1, p_len, o_len,
+            pack=True)
+        ref_packed.append(np.asarray(packed))
+
+    # Mesh: stacked carries, engine axis over 8 devices.
+    mesh = make_mesh()
+    place, step = make_pooled_wave_step(mesh, sr, slot_len=slot_len)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_packed = []
+    for w in waves:
+        stacked, host = place(stacked, jnp.asarray(w))
+        stacked, packed = step(stacked, host, p_len, o_len)
+        got_packed.append(np.asarray(packed))
+
+    for i, (a, b) in enumerate(zip(ref_packed, got_packed)):
+        np.testing.assert_array_equal(a, b, err_msg=f"wave {i}")
+    ref_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ref_states)
+    for a, b in zip(jax.tree.leaves(ref_stacked), jax.tree.leaves(stacked)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The wave really ran partitioned: the engine axis is sharded.
+    shard_devs = {s.device for s in stacked[4].addressable_shards}
+    assert len(shard_devs) == 8, shard_devs
