@@ -344,3 +344,41 @@ def test_pool_timeout_transition_rolls_back_and_matches():
         assert _consumers(members[k][0])[1].calibration_done
         assert events[k] == ev_solo, f"engine {k}"
         _assert_states_match(e_solo, members[k][0])
+
+
+def test_pool_prepare_covers_mid_join_at_capacity():
+    """The zero-compile mid-join claim: a pool PREPARED at capacity C
+    must run a live session where a fresh member joins mid-run — hold
+    dispatches, speculative redispatch, steady padding, the post-join
+    full wave — without a single new wave-program compile."""
+    import jax
+
+    from audio_analyzer_rs_tpu.models import analyzer as an
+
+    jax.clear_caches()
+    cfg_pool = EnginePool(
+        [AudioEngine(sample_rate=SR, buffer_size=1024) for _ in range(2)],
+        pipeline_depth=1, aggregate_slots=2, capacity=3)
+    cfg_pool.prepare()
+    before = an.fused_slot_pool_step._cache_size()
+
+    seconds = 4.0
+    members = [_make_engine(s, seconds) for s in SEEDS[:2]]
+    pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                      aggregate_slots=2, capacity=3)
+    slot_s = members[0][0].buffer_size / SR
+    n_slots = int(seconds / slot_s)
+    join_at = 70
+    joiner_seconds = (n_slots - join_at + 0.5) * slot_s
+    for i in range(n_slots):
+        if i == join_at:
+            members.append(_make_engine(SEEDS[2], joiner_seconds))
+            pool.add(members[2][0])
+        pool.step_wave()
+    pool.flush()
+    after = an.fused_slot_pool_step._cache_size()
+    assert after == before, (
+        f"mid-join session compiled wave programs prepare() missed "
+        f"({before}->{after})")
+    assert _consumers(members[2][0])[1].calibration_done
+    assert pool._rollbacks >= 1
