@@ -848,9 +848,7 @@ class AudioEngine:
             # engines' slots run as ONE batched dispatch (api/pool.py).
             pool._collect.append((self, slot, pc, oc))
             return
-        import jax
         import jax.numpy as jnp
-        from ..models.analyzer import fused_slot_step
         pa, oa = pc.analyzer, oc.analyzer
         slot = np.asarray(slot, np.float32)
         res = self._resident
@@ -958,9 +956,8 @@ class AudioEngine:
         per-slot program is always warm — it carried the calibration
         phase).  Per-slot dispatch IS the reference semantics, so the
         decomposition is exact."""
-        import jax
         import jax.numpy as jnp
-        from ..models.analyzer import fused_slot_agg_step, fused_slot_step
+        from ..models.analyzer import fused_slot_agg_step
         res = self._resident
         acc = res.pop("agg", None)
         if not acc or not acc["entries"]:
