@@ -346,3 +346,45 @@ def test_solo_speculative_calibration_rolls_back_and_matches():
     _assert_states_equal(e0, e1)
     _, oc1 = _consumers(e1)
     assert oc1.calibration_done
+
+
+def test_calibration_transition_predicate_matches_post(monkeypatch):
+    """_OnsetConsumer._calibration_transition must agree with _post's
+    ACTUAL calibration effect on every single burst — the speculation
+    machinery (solo and pooled) decides rollbacks with the predicate, so
+    any drift silently diverges speculative state.  Checked live across
+    both transition kinds by instrumenting every post."""
+    from audio_analyzer_rs_tpu.api.engine import _OnsetConsumer
+
+    records = []
+    orig = _OnsetConsumer._post
+
+    def wrapped(self, out, tick_sup, base, anchor=None):
+        if anchor is None:
+            anchor = self.engine._stamp_anchor()
+        pred = self._calibration_transition(out, base, anchor)
+        before = self.calibration_done
+        orig(self, out, tick_sup, base, anchor=anchor)
+        actual = (not before) and self.calibration_done
+        records.append((pred, actual))
+
+    monkeypatch.setattr(_OnsetConsumer, "_post", wrapped)
+
+    # Acceptance transition (loopback), speculative depth.
+    e, _ = _run_session(fused=True, seconds=2.5, depth=1, aggregate=4)
+    e.flush_analysis()
+    # Timeout transition (no loopback, 2 s fallback).
+    e2 = AudioEngine(input_source=ArraySource(gen.mixed_scene(3.0, SR,
+                                                             seed=5)),
+                     sample_rate=SR)
+    e2.pipeline_depth = 1
+    e2.start_tuner()
+    e2.start_onset_detection()
+    e2.advance(2.5)
+    e2.flush_analysis()
+
+    assert len(records) > 100
+    transitions = [r for r in records if r[1]]
+    assert len(transitions) == 2, len(transitions)   # one per engine
+    for i, (pred, actual) in enumerate(records):
+        assert pred == actual, f"post {i}: predicate {pred} != {actual}"

@@ -382,3 +382,75 @@ def test_pool_prepare_covers_mid_join_at_capacity():
         f"({before}->{after})")
     assert _consumers(members[2][0])[1].calibration_done
     assert pool._rollbacks >= 1
+
+
+def test_pool_scheduling_fuzz():
+    """Randomized scheduling churn — per-engine pauses/resumes, pool
+    flushes at arbitrary waves, and a mid-run join — must never break
+    per-engine parity with solo runs under the same schedule.  This is
+    the integration fuzz over ALL the pool machinery at once: speculative
+    calibration + rollback, capacity padding, partial-aggregate
+    decomposition, hold/steady partitioning, membership change."""
+    import random
+
+    for trial, master_seed in enumerate((7, 19)):
+        rng = random.Random(master_seed)
+        seconds = 3.0
+        members = [_make_engine(s, seconds) for s in SEEDS[:2]]
+        pool = EnginePool([e for e, _, _ in members], pipeline_depth=1,
+                          aggregate_slots=rng.choice((2, 3, 4)),
+                          capacity=3)
+        slot_s = members[0][0].buffer_size / SR
+        n_slots = int(seconds / slot_s)
+        join_at = rng.randrange(40, 90)
+        joiner_seconds = (n_slots - join_at + 0.5) * slot_s
+        # Random pause windows per founder (post-calibration region so the
+        # pause interacts with steady aggregation, not the hold path).
+        pauses = {}
+        for k in range(2):
+            if rng.random() < 0.8:
+                start = rng.randrange(75, 110)
+                pauses[k] = (start, start + rng.randrange(5, 20))
+        flush_waves = sorted(rng.sample(range(10, n_slots), 4))
+        events = [[], [], []]
+        for i in range(n_slots):
+            if i == join_at:
+                members.append(_make_engine(SEEDS[2], joiner_seconds))
+                pool.add(members[2][0])
+            for k, (s0, s1) in pauses.items():
+                if i == s0:
+                    members[k][2].pause()
+                if i == s1:
+                    members[k][2].resume()
+            pool.step_wave()
+            if i in flush_waves:
+                pool.flush()
+            for k, (_, _, onset) in enumerate(members):
+                events[k].extend(json.loads(onset.poll_onsets()))
+        pool.flush()
+        for k, (_, _, onset) in enumerate(members):
+            events[k].extend(json.loads(onset.poll_onsets()))
+
+        def run_solo_scripted(seed, seconds, pause, offset):
+            e, _, onset = _make_engine(seed, seconds)
+            ev = []
+            for i in range(int(seconds / slot_s)):
+                if pause and i + offset == pause[0]:
+                    onset.pause()
+                if pause and i + offset == pause[1]:
+                    onset.resume()
+                e.advance(slot_s)
+                ev.extend(json.loads(onset.poll_onsets()))
+            e.flush_analysis()
+            ev.extend(json.loads(onset.poll_onsets()))
+            return e, ev
+
+        for k, seed in enumerate(SEEDS[:2]):
+            e_solo, ev_solo = run_solo_scripted(seed, seconds,
+                                                pauses.get(k), 0)
+            assert events[k] == ev_solo, f"trial {trial} founder {k}"
+            _assert_states_match(e_solo, members[k][0])
+        e_solo, ev_solo = run_solo_scripted(SEEDS[2], joiner_seconds,
+                                            None, join_at)
+        assert events[2] == ev_solo, f"trial {trial} joiner"
+        _assert_states_match(e_solo, members[2][0])
