@@ -454,3 +454,68 @@ def test_pool_scheduling_fuzz():
                                             None, join_at)
         assert events[2] == ev_solo, f"trial {trial} joiner"
         _assert_states_match(e_solo, members[2][0])
+
+
+def test_pooled_classroom_practice_sessions_match_solo(tmp_path):
+    """The actual classroom product scenario: K students each run a full
+    PRACTICE SESSION (MIDI reference, live scoring, end-of-session
+    metrics) while their engines are pooled — every slot wave one batched
+    dispatch with deferred readback.  Each pooled student's feedback and
+    metrics must equal a solo run of the same engine config (same
+    pipeline_depth/aggregate_slots), note for note."""
+    import pytest
+
+    from audio_analyzer_rs_tpu.utils.midi import write_midi_file
+
+    midi_path = str(tmp_path / "ref.mid")
+    notes = [(60, 0.0, 0.9, 90), (64, 1.0, 0.9, 90), (67, 2.0, 0.9, 90),
+             (72, 3.0, 0.9, 90),
+             (72, 4.0, 0.9, 90), (67, 5.0, 0.9, 90), (64, 6.0, 0.9, 90),
+             (60, 7.0, 0.9, 90)]
+    write_midi_file(midi_path, notes, bpm=120.0)
+    perf = np.zeros(int(SR * 6.0), dtype=np.float32)
+    for midi, start, dur, _vel in notes:
+        freq = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+        tone = gen.tone_with_harmonics(freq, dur * 0.5 * 0.9, SR,
+                                       harmonics=6, amplitude=0.35)
+        s = int(start * 0.5 * SR)
+        perf[s:s + len(tone)] += tone
+
+    def make_student():
+        e = AudioEngine(input_source=ArraySource(perf))
+        e.pipeline_depth = 1
+        e.aggregate_slots = 2
+        e.transport.set_calibration_offset(1)   # offline: no latency
+        e.transport.set_input_latency(0)
+        e.transport.set_output_latency(0)
+        session = e.create_practice_session(midi_path, "Piano", 0,
+                                            "Performance", "Beginner",
+                                            120.0)
+        session.start(0, 1)
+        return e, session
+
+    K = 3
+    students = [make_student() for _ in range(K)]
+    pool = EnginePool([e for e, _ in students], pipeline_depth=1,
+                      aggregate_slots=2, capacity=K)
+    slot_s = students[0][0].buffer_size / SR
+    n_slots = int(5.5 / slot_s)
+    for _ in range(n_slots):
+        pool.step_wave()
+    pool.flush()
+
+    e_solo, s_solo = make_student()
+    for _ in range(n_slots):
+        e_solo.advance(slot_s)
+    e_solo.flush_analysis()
+
+    assert not s_solo.is_running()
+    solo_metrics = json.loads(s_solo.get_metrics())
+    assert solo_metrics["accuracy_percent"] >= 75.0, solo_metrics
+    solo_transport = json.loads(s_solo.poll_transport())
+    for k, (e, session) in enumerate(students):
+        assert not session.is_running(), f"student {k} still running"
+        assert json.loads(session.get_metrics()) == solo_metrics, \
+            f"student {k}"
+        assert json.loads(session.poll_transport()) == solo_transport, \
+            f"student {k}"
