@@ -431,16 +431,15 @@ class EnginePool:
             entry["wave_no"] = self._wave_no
         if hold:
             # Prefetch the readback on a background thread: the drain
-            # happens only one wave (~a slot period) after dispatch, and
-            # the async device->host copy may make no progress while the
-            # host paces/sleeps, so draining could pay the full round
-            # trip.  On links whose client pipelines transfers this turns
-            # the pacing sleep into transfer time (drain pays only
-            # max(0, RTT - slot)); this environment's tunnel serializes
-            # the channel, so here the calibration wave stays RTT-bound
-            # either way (~30 ms busy vs the 21.3 ms budget — the same
-            # physical bound as the solo engine's synchronous mode; see
-            # docs/PERFORMANCE.md mid-join section).
+            # happens one wave after dispatch (speculative ordering, see
+            # _wave_dispatch), and the async device->host copy may make
+            # no progress while the host paces/sleeps, so draining could
+            # still pay part of the round trip.  The thread turns the
+            # pacing sleep into transfer time.  Measured with speculation
+            # + prefetch (docs/PERFORMANCE.md mid-join section): the
+            # calibration window runs at ~16.5 ms busy/wave through the
+            # 25 ms-RTT tunnel — under the 21.3 ms budget (it was ~30 ms
+            # when the drain preceded the next dispatch).
             import threading
 
             def _prefetch(q=entry):
