@@ -126,6 +126,15 @@ class MusicalTransport:
                      if math.isfinite(t)]
         return min(dists) if dists else float("inf")
 
+    def tick_history_snapshot(self) -> np.ndarray:
+        """The finite entries of the tick-history ring, under one lock —
+        for vectorized per-burst tick suppression (the onset consumer
+        computes a whole burst's distances in one numpy pass instead of
+        2 locked calls per frame; api/engine.py _tick_suppression)."""
+        with self._lock:
+            return np.array([t for t in self._tick_history_beats
+                             if math.isfinite(t)], dtype=np.float64)
+
     # ── onset alignment (ref timing.rs:311-350) ─────────────────────────
 
     def stamp_onset(self, sample_offset: int, velocity: float) -> OnsetEvent:
