@@ -574,10 +574,16 @@ class _OnsetConsumer:
         pooled-vs-solo bit-parity tests (tests/test_pool.py) catch."""
         if self.calibration_done:
             return False
+        if len(out.fired) == 0:
+            # _fused_post only calls _post when the burst has onset
+            # frames (n_o > 0), so an empty burst can never transition —
+            # not even past the timeout.
+            return False
         elapsed = anchor["output_frames"] - self.calibration_start_frame
         if elapsed > self.calibration_timeout:
             return True
-        target = anchor.get("calibration_target", 0)
+        target = anchor.get("calibration_target",
+                            self.engine.calibration_target)
         if target == 0:
             return False
         t = self.engine.transport
@@ -1035,13 +1041,7 @@ class AudioEngine:
                     # Roll the newer dispatch back to its pre-dispatch
                     # state (immutable jax arrays: the snapshot is the
                     # original tuples).
-                    snap = inflight["snap"]
-                    pa, oa = pc.analyzer, oc.analyzer
-                    pa.nf_state, pa.tr_state = snap[0], snap[1]
-                    oa.state = snap[2]
-                    res = self._resident
-                    (res["pending"], res["p_tail"],
-                     res["o_tail"]) = snap[3], snap[4], snap[5]
+                    self._rollback_spec(pc, oc, inflight["snap"])
                     inflight["invalid"] = True
                     self._spec_rollbacks += 1
                 self._fused_post((out,) + metas, pc, oc)
@@ -1058,14 +1058,27 @@ class AudioEngine:
             off += ln
             self._fused_post((out_k,) + meta, pc, oc)
 
-    def _respeculate(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
-                     info: dict) -> None:
+    def _rollback_spec(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
+                       snap: tuple) -> None:
+        """Undo a speculative dispatch's state write-back (jax arrays are
+        immutable, so `snap` IS the pre-dispatch tuples verbatim).  Shared
+        by the solo drain and the pool's per-lane rollback."""
+        pc.analyzer.nf_state, pc.analyzer.tr_state = snap[0], snap[1]
+        oc.analyzer.state = snap[2]
+        res = self._resident
+        res["pending"], res["p_tail"], res["o_tail"] = (snap[3], snap[4],
+                                                        snap[5])
+
+    def _rebuild_inputs(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
+                        info: dict):
         """Rebuild an invalidated speculative slot's inputs with
-        POST-transition state and dispatch it again: the host mirrors are
-        temporarily rewound to their pre-slot values so `_fused_inputs`
-        sees exactly what a synchronous consume would have (same virtual
-        instant — nothing has ticked since the slot's collection — but
-        with the new calibration offset / hold flag)."""
+        POST-transition state: the host mirrors are temporarily rewound to
+        their pre-slot values so `_fused_inputs` sees exactly what a
+        synchronous consume would have (same virtual instant — nothing
+        has ticked since the slot's collection — but with the new
+        calibration offset / hold flag).  Returns (host_vec, meta, p_len,
+        o_len).  Shared by the solo redispatch and the pool's
+        (api/pool.py _redispatch_lane)."""
         pa, oa = pc.analyzer, oc.analyzer
         save = (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed)
         (pa._tail, oa._tail, pa.frames_consumed,
@@ -1075,6 +1088,12 @@ class AudioEngine:
         meta = (n_p, n_o, pa.frames_consumed, oa.frames_consumed, tick_sup,
                 self._stamp_anchor())
         (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed) = save
+        return host_vec, meta, p_len, o_len
+
+    def _respeculate(self, pc: "_PitchConsumer", oc: "_OnsetConsumer",
+                     info: dict) -> None:
+        """Rebuild + redispatch an invalidated speculative slot (solo)."""
+        host_vec, meta, p_len, o_len = self._rebuild_inputs(pc, oc, info)
         self._dispatch_slot(pc, oc, host_vec, meta, p_len, o_len,
                             len(info["slot"]))
 

@@ -463,8 +463,11 @@ class EnginePool:
         th = q.get("thread")
         if th is not None:
             th.join()
-            vec = q["np"]
-        else:
+        vec = q.get("np")
+        if vec is None:
+            # No prefetch, or the prefetch thread died (its exception
+            # would otherwise surface as a confusing KeyError here):
+            # fetch on this thread so the REAL transport error propagates.
             vec = np.asarray(jax.device_get(q["vec"]), np.float32)
         outs = unpack_fused_pool_out(vec, q.get("lanes", len(q["wave"])),
                                      q["frame_counts"])
@@ -493,13 +496,18 @@ class EnginePool:
                     newer = self._find_inflight(e, q["wave_no"])
                     if newer is not None:
                         nq, lane = newer
-                        self._rollback_lane(pc, oc, e,
-                                            nq["spec"][lane]["snap"])
+                        e._rollback_spec(pc, oc, nq["spec"][lane]["snap"])
                         nq["invalid"].add(lane)
                         self._rollbacks += 1
                     e._fused_post((out,) + meta, pc, oc)
                     if newer is not None:
                         self._redispatch_lane(e, pc, oc, nq["spec"][lane])
+                        # Post the rebuilt slot NOW (one blocking round
+                        # trip, once per calibration): deferring it to the
+                        # next wave's end would let the engine's FIRST
+                        # steady slot post before it at pipeline_depth=0 —
+                        # an event/tuner ordering inversion vs solo.
+                        self._drain_entry(self._hold_queue.pop())
                     continue
                 e._fused_post((out,) + meta, pc, oc)
 
@@ -514,32 +522,11 @@ class EnginePool:
                     return q, lane
         return None
 
-    @staticmethod
-    def _rollback_lane(pc, oc, engine, snap) -> None:
-        """Undo one lane's speculative state write-back (jax arrays are
-        immutable, so the snapshot is the pre-dispatch tuples verbatim)."""
-        pc.analyzer.nf_state, pc.analyzer.tr_state = snap[0], snap[1]
-        oc.analyzer.state = snap[2]
-        res = engine._resident
-        res["pending"], res["p_tail"], res["o_tail"] = snap[3], snap[4], \
-            snap[5]
-
     def _redispatch_lane(self, engine, pc, oc, info) -> None:
-        """Rebuild an invalidated speculative slot's inputs with
-        POST-transition state and dispatch it again.  The host mirrors are
-        temporarily rewound to their pre-slot values so `_fused_inputs`
-        sees exactly what the solo path's consume would have seen (same
-        virtual instant — nothing has ticked since the slot's collection
-        — but with the new calibration offset / hold flag)."""
-        pa, oa = pc.analyzer, oc.analyzer
-        save = (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed)
-        (pa._tail, oa._tail, pa.frames_consumed,
-         oa.frames_consumed) = info["mirrors"]
-        hv, n_p, n_o, tick_sup, hold, p_len, o_len = \
-            engine._fused_inputs(info["slot"], pc, oc)
-        meta = (n_p, n_o, pa.frames_consumed, oa.frames_consumed,
-                tick_sup, engine._stamp_anchor())
-        (pa._tail, oa._tail, pa.frames_consumed, oa.frames_consumed) = save
+        """Rebuild an invalidated speculative slot with post-transition
+        inputs (AudioEngine._rebuild_inputs) and dispatch it as a 1-lane
+        hold group (padded, so the program is already compiled)."""
+        hv, meta, p_len, o_len = engine._rebuild_inputs(pc, oc, info)
         self._dispatch_group(
             [(engine, pc, oc)], [[(hv, meta)]], len(info["slot"]),
             p_len, o_len, 0,

@@ -519,3 +519,59 @@ def test_pooled_classroom_practice_sessions_match_solo(tmp_path):
             f"student {k}"
         assert json.loads(session.poll_transport()) == solo_transport, \
             f"student {k}"
+
+
+def test_pool_depth0_transition_preserves_event_order():
+    """At pipeline_depth=0 / aggregate_slots=1 (the synchronous default),
+    the slot rebuilt at the calibration transition must post BEFORE the
+    engine's first steady slot — the rebuilt dispatch is drained
+    immediately at the transition, not deferred to the next wave's end
+    (which would invert event order vs solo).  Scene: dense clicks
+    around the 2 s calibration timeout so both the rebuilt slot and the
+    following steady slots carry fired onsets."""
+    def scene(seed):
+        # Clicks at slots 94-96: the 2 s timeout transition is detected
+        # draining slot 93 (end of wave 94), so the rebuilt slot is 94 —
+        # it and the first steady slots all carry fired onsets, making
+        # any post-ordering inversion visible in the event stream.
+        rng = np.random.default_rng(seed)
+        x = (rng.standard_normal(int(SR * 3.0)) * 1e-5).astype(np.float32)
+        click = gen.calibration_click(SR, volume=0.8)
+        for slot in (94, 95, 96):
+            s = int((slot + 0.3) * 1024)
+            x[s:s + len(click)] += click
+        return x
+
+    def make(seed):
+        e = AudioEngine(input_source=ArraySource(scene(seed)),
+                        sample_rate=SR)   # no loopback -> timeout at 2 s
+        e.start_tuner()
+        onset = e.start_onset_detection()
+        return e, onset
+
+    slot_s = 1024 / SR
+    n = int(2.8 / slot_s)
+    members = [make(s) for s in (5, 6)]
+    pool = EnginePool([e for e, _ in members], pipeline_depth=0,
+                      aggregate_slots=1)
+    ev = [[], []]
+    for _ in range(n):
+        pool.step_wave()
+        for k, (_, onset) in enumerate(members):
+            ev[k].extend(json.loads(onset.poll_onsets()))
+    pool.flush()
+    for k, (_, onset) in enumerate(members):
+        ev[k].extend(json.loads(onset.poll_onsets()))
+
+    for k, seed in enumerate((5, 6)):
+        e_solo, onset_solo = make(seed)
+        sev = []
+        for _ in range(n):
+            e_solo.advance(slot_s)
+            sev.extend(json.loads(onset_solo.poll_onsets()))
+        e_solo.flush_analysis()
+        sev.extend(json.loads(onset_solo.poll_onsets()))
+        assert len(sev) >= 3, "scene must fire onsets around the timeout"
+        assert ev[k] == sev, f"engine {k}"
+        _assert_states_match(e_solo, members[k][0])
+    assert pool._rollbacks == 2

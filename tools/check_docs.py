@@ -52,9 +52,13 @@ def latest_bench():
 
 
 def _numbers_with_unit(body: str, unit: str = r"frames/s"):
-    """Every number immediately preceding `unit` in `body` (commas ok)."""
-    return [float(m.group(1).replace(",", ""))
-            for m in re.finditer(r"([\d,]+(?:\.\d+)?)[kM]?\s*" + unit, body)]
+    """Every number immediately preceding `unit` in `body` (commas ok;
+    k/M magnitude suffixes applied — '862k frames/s' is 862,000)."""
+    out = []
+    for m in re.finditer(r"([\d,]+(?:\.\d+)?)\s*([kM])?\s*" + unit, body):
+        v = float(m.group(1).replace(",", ""))
+        out.append(v * {"k": 1e3, "M": 1e6}.get(m.group(2), 1.0))
+    return out
 
 
 def _within(value: float, candidates, rtol: float) -> bool:

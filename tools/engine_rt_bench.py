@@ -287,8 +287,8 @@ def main():
             stats["final_slip_ms"] = round(lateness[-1], 3)
             stats["join_budget_ok"] = bool(
                 by_late.get("join")
-                and pct(by["pre"], 0.9) < slot_ms
-                and pct(by["post"], 0.9) < slot_ms
+                and all(pct(by[ph], 0.9) < slot_ms
+                        for ph in ("pre", "post") if ph in by)
                 and max(lateness) < 10 * slot_ms
                 and lateness[-1] < slot_ms)
         if args.paced > 0:
