@@ -452,6 +452,12 @@ class _OnsetConsumer:
         engines x (2 locked transport calls x 16 frames) per wave become
         K x 2 locks."""
         t = self.engine.transport
+        ticks = t.tick_history_snapshot()
+        if n_expected == 0 or ticks.size == 0:
+            # No metronome/click has ever ticked (the common plain
+            # tuner+onset session): nothing can be suppressed — skip the
+            # stamping math entirely.
+            return np.zeros(n_expected, dtype=bool)
         base = self.analyzer.frames_consumed
         anchor = t.anchor()
         guard_beats = TICK_GUARD_S * anchor["bpm"] / 60.0
@@ -464,9 +470,6 @@ class _OnsetConsumer:
         offset_beats = (centers - anchor["input_frames"]) * bps
         beat_pos = ((anchor["beats"] - latency_beats) + offset_beats
                     - calibration_beats)
-        ticks = t.tick_history_snapshot()
-        if n_expected == 0 or ticks.size == 0:
-            return np.zeros(n_expected, dtype=bool)
         dists = np.abs(beat_pos[:, None] - ticks[None, :]).min(axis=1)
         return dists < guard_beats
 
@@ -651,7 +654,10 @@ class AudioEngine:
         # N>=1 = results surface N slots (~N*21 ms) later — semantically a
         # latency constant, like the reference's free-running analysis
         # threads (ref src/lib.rs:80-82: every consumer surface is
-        # poll-based).  Forced to 0 while latency calibration is running.
+        # poll-based).  During latency calibration, depth 0 stays fully
+        # synchronous; N>=1 runs calibration slots SPECULATIVELY at an
+        # effective depth of 1 with rollback at the transition (see
+        # _fused_consume / _fused_drain_entry).
         self.pipeline_depth = 0
         # Slot aggregation for the fused path: dispatch every A-th slot as
         # ONE chained device program over the last A slots
@@ -1229,19 +1235,24 @@ class AudioEngine:
         from .device import ArraySource
         from ..models.analyzer import OnsetAnalyzer, PitchAnalyzer
 
+        from ..ops.stft import PITCH_WINDOW as _PITCH_WINDOW
+
         seen: list = []
         seconds: dict = {}
         t_all = _time.perf_counter()
         agg = max(int(self.aggregate_slots), 1)
-        # Phase lengths: the ramp reaches its fixed point within a few
-        # slots (3 variants for 1024-sample slots); then two full
+        # Phase lengths: the ring-tail ramp is walked until its
+        # (pitch_tail, onset_tail) variant repeats — its length depends
+        # on buffer size (3 variants at 1024 samples; a 128-sample
+        # buffer takes ~16 slots just to fill the 2048-sample pitch
+        # window, which a fixed count would under-cover) — then two full
         # aggregates so the steady aggregate program compiles and is
         # timed once warm.
-        n_ramp = 8
+        ramp_cap = max(16, 2 * (_PITCH_WINDOW // self.buffer_size) + 8)
         n_agg = 2 * agg if agg > 1 else 0
         scratch = AudioEngine(
             input_source=ArraySource(
-                np.zeros((n_ramp + n_agg + 1) * self.buffer_size,
+                np.zeros((ramp_cap + n_agg + 1) * self.buffer_size,
                          np.float32)),
             sample_rate=self.sample_rate, buffer_size=self.buffer_size)
         scratch.fused_streaming = self.fused_streaming
@@ -1256,15 +1267,16 @@ class AudioEngine:
         slot_s = self.buffer_size / self.sample_rate
         # Phase 1 — calibration holds (oc attaches uncalibrated, exactly
         # like a live session's first ~2 s): per-slot dispatches walk the
-        # ring-tail ramp.
-        for i in range(n_ramp):
+        # ring-tail ramp until it cycles.
+        for i in range(ramp_cap):
             variant = (len(pc.analyzer._tail), len(oc.analyzer._tail))
+            if variant in seen:
+                break   # the ramp cycled: every variant is compiled
             t0 = _time.perf_counter()
             scratch.advance(slot_s)
             dt = _time.perf_counter() - t0
-            if variant not in seen:
-                seen.append(variant)
-                seconds[f"fused_{variant[0]}_{variant[1]}"] = dt
+            seen.append(variant)
+            seconds[f"fused_{variant[0]}_{variant[1]}"] = dt
         # Phase 2 — calibration done (a live session reaches this via
         # loopback acceptance or the 2 s timeout): aggregation engages
         # and the steady aggregate program compiles.
@@ -1482,7 +1494,13 @@ class AudioEngine:
                 f"Unknown practice mode '{mode}'. Expected one of: "
                 f"FollowAlong, Performance, Rubato")
         tuner = self.start_tuner()
-        onset = self.start_onset_detection()
+        try:
+            onset = self.start_onset_detection()
+        except Exception:
+            # The tuner just started above would otherwise leak (no handle
+            # returned), blocking every retry with "Already active".
+            self.stop_tuner()
+            raise
         try:
             instrument_from(instrument)
             core = PracticeCore(

@@ -103,6 +103,7 @@ class EnginePool:
         self._agg_dispatches = 0  # observability: aggregate dispatches
         self._rollbacks = 0       # observability: speculative rollbacks
         self._wave_no = 0         # monotonic wave id (speculation ordering)
+        self._pad_high = 0        # high-water dispatch lanes (see below)
         for e in engines:
             self.add(e)
 
@@ -139,6 +140,8 @@ class EnginePool:
     def advance(self, seconds: float) -> None:
         """Run virtual time forward on every member engine, one slot wave
         per buffer period (the pool twin of AudioEngine.advance)."""
+        if not self._engines:
+            return
         e0 = self._engines[0]
         n = int(round(seconds * e0.sample_rate)) // e0.buffer_size
         for _ in range(n):
@@ -146,6 +149,8 @@ class EnginePool:
 
     def run_realtime(self, seconds: float) -> None:
         """Wall-clock-paced lockstep (the pool twin of run_realtime)."""
+        if not self._engines:
+            return
         e0 = self._engines[0]
         period = e0.buffer_size / e0.sample_rate
         n = int(round(seconds * e0.sample_rate)) // e0.buffer_size
@@ -167,9 +172,13 @@ class EnginePool:
             for e in self._engines:
                 e.device.step()
         finally:
+            # Dispatch whatever was collected even if a later member's
+            # step raised: those engines' transports/reducers already
+            # advanced for this buffer, so dropping their slots would
+            # leave them permanently one slot behind their own clocks.
             entries, self._collect = self._collect, None
-        if entries:
-            self._wave_dispatch(entries)
+            if entries:
+                self._wave_dispatch(entries)
         for e in self._engines:
             e._practice_ticks()
 
@@ -231,10 +240,16 @@ class EnginePool:
                                           en.meta[0], en.meta[1])
 
         # Every dispatch below is padded to the provisioned lane count:
-        # a calibration split, a paused member, or a mid-session join
-        # (below capacity) then reuses the already-compiled programs
-        # instead of compiling a different-lane variant mid-session.
-        pad_to = max(len(prepared), len(self._engines), self.capacity)
+        # a calibration split, a paused member, a mid-session join (below
+        # capacity), or a member LEAVING then reuses the already-compiled
+        # programs instead of compiling a different-lane variant
+        # mid-session.  The high-water mark keeps pad_to from shrinking
+        # after a remove() — a smaller lane count would be a fresh XLA
+        # program, stalling the remaining live sessions on the compile
+        # the padding exists to avoid.
+        self._pad_high = max(self._pad_high, len(prepared),
+                             len(self._engines), self.capacity)
+        pad_to = self._pad_high
 
         # Calibrating members: per-wave dispatch in their own group(s),
         # SPECULATIVE — dispatched now with optimistically-built inputs,
@@ -359,7 +374,8 @@ class EnginePool:
 
     def _dispatch_group(self, wave, payloads, slot_len: int, p_len0: int,
                         o_len0: int, depth: int, pad_to: int = 0,
-                        hold: bool = False, spec=None) -> None:
+                        hold: bool = False, spec=None,
+                        count_wave: bool = True) -> None:
         """Dispatch one group: `wave` = [(engine, pc, oc)] (K members),
         `payloads` = [per-wave [(host_vec, meta)] aligned with `wave`]
         (A chained sub-slots).  ONE vmapped device program, ONE packed
@@ -411,7 +427,8 @@ class EnginePool:
             res = e._resident
             res["pending"], res["p_tail"], res["o_tail"] = st[3], st[4], st[5]
         packed.copy_to_host_async()
-        self.waves += A
+        if count_wave:
+            self.waves += A
         if A > 1:
             self._agg_dispatches += 1
         # Per-sub-slot frame counts are geometry-shared across the wave
@@ -530,7 +547,7 @@ class EnginePool:
         self._dispatch_group(
             [(engine, pc, oc)], [[(hv, meta)]], len(info["slot"]),
             p_len, o_len, 0,
-            pad_to=max(len(self._engines), self.capacity), hold=True,
+            pad_to=self._pad_high, hold=True, count_wave=False,
             spec=[{"slot": info["slot"], "mirrors": info["mirrors"]}])
 
     def flush(self) -> None:
@@ -567,16 +584,21 @@ class EnginePool:
         from .device import ArraySource
         from .engine import AudioEngine, _OnsetConsumer, _PitchConsumer
 
+        if not self._engines:
+            raise ValueError("pool has no members to prepare for")
+        from ..ops.stft import PITCH_WINDOW as _PITCH_WINDOW
+
         e0 = self._engines[0]
         K = max(len(self._engines), self.capacity)
         agg = self.aggregate_slots
-        n_ramp = 8
+        # Ramp length adapts to buffer size (see AudioEngine.prepare).
+        ramp_cap = max(16, 2 * (_PITCH_WINDOW // e0.buffer_size) + 8)
         n_agg = 2 * agg if agg > 1 else 0
         scratch = []
         for _ in range(K):
             e = AudioEngine(
                 input_source=ArraySource(
-                    np.zeros((n_ramp + n_agg + 1) * e0.buffer_size,
+                    np.zeros((ramp_cap + n_agg + 1) * e0.buffer_size,
                              np.float32)),
                 sample_rate=e0.sample_rate, buffer_size=e0.buffer_size)
             e.start_tuner()
@@ -595,16 +617,17 @@ class EnginePool:
         seconds: dict = {}
         t_all = time.perf_counter()
         # Phase 1 — every member calibrating: per-wave hold dispatches
-        # walk the ramp.
-        for _ in range(n_ramp):
+        # walk the ramp until it cycles.
+        for _ in range(ramp_cap):
             pc0, oc0 = cons[0]
             variant = (len(pc0.analyzer._tail), len(oc0.analyzer._tail))
+            if variant in seen:
+                break   # the ramp cycled: every variant is compiled
             t0 = time.perf_counter()
             spool.step_wave()
             dt = time.perf_counter() - t0
-            if variant not in seen:
-                seen.append(variant)
-                seconds[f"pool{K}_{variant[0]}_{variant[1]}"] = dt
+            seen.append(variant)
+            seconds[f"pool{K}_{variant[0]}_{variant[1]}"] = dt
         # Phase 2 — calibration done: aggregation engages.
         for e, (pc, oc) in zip(scratch, cons):
             oc.calibration_done = True
